@@ -1,0 +1,149 @@
+"""Golden-model SPH solver: exact all-pairs neighbour sums in pure jnp.
+
+This is the trusted oracle replacing the reference's CPU solver
+(reference: src/cpu/sph2d.rs — ``SPHState::{density_pressure_calc,
+accel_field_calc, integrate, apply_boundaries, step}``).  The reference used a
+HashMap spatial grid purely as an optimization; its neighbour set is exactly
+"all pairs with r^2 < h^2", which is what we compute directly (masked, chunked
+over rows to bound memory).  Runs on the CPU backend in CI — no TPU required —
+and is the parity baseline for the accelerated solvers, exactly as the
+reference validated its GPU path against its CPU path
+(reference: examples/gpu_parity10.rs, examples/gpu_integration_parity.rs).
+
+Semantics preserved from the reference step (src/cpu/sph2d.rs:222-227):
+  1. density (includes self-contribution) + clamped EOS pressure
+  2. accelerations from NEW rho/p but pre-step pos/vel, plus gravity
+  3. semi-implicit Euler:  v += a*dt;  x += v*dt
+  4. boundary clamp+bounce on floor and both walls
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.params import FluidParams, IntegrateConfig, GRAVITY_Y
+from ..core.state import FluidState
+from ..ops.kernels import w_poly6, grad_spiky, laplacian_visc, eos_pressure
+
+_CHUNK = 1024  # rows per all-pairs block; bounds peak memory at CHUNK * N
+
+
+def _row_chunks(n: int):
+    for s in range(0, n, _CHUNK):
+        yield s, min(s + _CHUNK, n)
+
+
+def density_pressure(state: FluidState, params: FluidParams) -> FluidState:
+    """rho_i = m * sum_{j: r^2 < h^2} W_poly6(r^2);  p = k*max(rho-rho_0, 0).
+
+    The j==i self term is included, as in the reference
+    (src/cpu/sph2d.rs:123-134 — particle i is in its own cell's list).
+    """
+    n = state.n
+    x, y = state.pos[:, 0], state.pos[:, 1]
+    h = params.h
+    h2 = h * h
+    rho_parts = []
+    for s, e in _row_chunks(n):
+        dx = x[s:e, None] - x[None, :]
+        dy = y[s:e, None] - y[None, :]
+        r2 = dx * dx + dy * dy
+        # strict gate mirrors the CPU loop (src/cpu/sph2d.rs:128)
+        w = jnp.where(r2 < h2, w_poly6(r2, h), 0.0)
+        rho_parts.append(params.m * jnp.sum(w, axis=1))
+    rho = jnp.concatenate(rho_parts) if len(rho_parts) > 1 else rho_parts[0]
+    return FluidState(pos=state.pos, vel=state.vel, acc=state.acc,
+                      rho=rho, p=eos_pressure(rho, params), step=state.step)
+
+
+def accel_field(state: FluidState, params: FluidParams) -> FluidState:
+    """Pressure + viscosity + gravity accelerations
+    (reference: src/cpu/sph2d.rs:143-190):
+
+      a_p = -m (p_i + p_j) / (2 rho_j) * gradW_spiky(r_i - r_j)
+      a_v = mu m (v_j - v_i) / rho_j * lapW_visc(|r|)
+    """
+    n = state.n
+    x, y = state.pos[:, 0], state.pos[:, 1]
+    vx, vy = state.vel[:, 0], state.vel[:, 1]
+    rho, p = state.rho, state.p
+    h, m, mu = params.h, params.m, params.mu
+
+    inv_rho = jnp.where(rho > 0.0, 1.0 / rho, 0.0)
+    col = jnp.arange(n)
+
+    ax_parts, ay_parts = [], []
+    for s, e in _row_chunks(n):
+        dx = x[s:e, None] - x[None, :]
+        dy = y[s:e, None] - y[None, :]
+        r = jnp.sqrt(dx * dx + dy * dy)
+        not_self = (col[s:e, None] != col[None, :]).astype(jnp.float32)
+
+        gx, gy = grad_spiky(dx, dy, h)
+        fac_p = -m * (p[s:e, None] + p[None, :]) * (0.5 * inv_rho[None, :])
+
+        lap = laplacian_visc(r, h)
+        fac_v = mu * m * lap * inv_rho[None, :]
+
+        ax = not_self * (fac_p * gx + fac_v * (vx[None, :] - vx[s:e, None]))
+        ay = not_self * (fac_p * gy + fac_v * (vy[None, :] - vy[s:e, None]))
+        ax_parts.append(jnp.sum(ax, axis=1))
+        ay_parts.append(jnp.sum(ay, axis=1))
+
+    ax = jnp.concatenate(ax_parts) if len(ax_parts) > 1 else ax_parts[0]
+    ay = jnp.concatenate(ay_parts) if len(ay_parts) > 1 else ay_parts[0]
+    acc = jnp.stack([ax, ay + GRAVITY_Y], axis=-1)
+    return FluidState(pos=state.pos, vel=state.vel, acc=acc,
+                      rho=state.rho, p=state.p, step=state.step)
+
+
+def integrate(state: FluidState, cfg: IntegrateConfig) -> FluidState:
+    """Semi-implicit Euler (reference: src/cpu/sph2d.rs:192-197)."""
+    vel = state.vel + state.acc * cfg.dt
+    pos = state.pos + vel * cfg.dt
+    return FluidState(pos=pos, vel=vel, acc=state.acc,
+                      rho=state.rho, p=state.p, step=state.step)
+
+
+def apply_boundaries(state: FluidState, cfg: IntegrateConfig) -> FluidState:
+    """Clamp + bounce on floor / right wall / left wall; no ceiling
+    (reference: src/cpu/sph2d.rs:199-220). ``bounce`` is negative in demos."""
+    x, y = state.pos[:, 0], state.pos[:, 1]
+    vx, vy = state.vel[:, 0], state.vel[:, 1]
+
+    below = y < cfg.floor_y
+    y = jnp.where(below, cfg.floor_y, y)
+    vy = jnp.where(below, vy * cfg.bounce, vy)
+
+    right = x > cfg.x_max
+    x = jnp.where(right, cfg.x_max, x)
+    vx = jnp.where(right, vx * cfg.bounce, vx)
+
+    left = x < cfg.x_min
+    x = jnp.where(left, cfg.x_min, x)
+    vx = jnp.where(left, vx * cfg.bounce, vx)
+
+    return FluidState(pos=jnp.stack([x, y], axis=-1),
+                      vel=jnp.stack([vx, vy], axis=-1),
+                      acc=state.acc, rho=state.rho, p=state.p, step=state.step)
+
+
+def step(state: FluidState, params: FluidParams,
+         cfg: IntegrateConfig) -> FluidState:
+    """One full golden-model step (reference: SPHState::step, sph2d.rs:222-227)."""
+    state = density_pressure(state, params)
+    state = accel_field(state, params)
+    state = integrate(state, cfg)
+    state = apply_boundaries(state, cfg)
+    return FluidState(pos=state.pos, vel=state.vel, acc=state.acc,
+                      rho=state.rho, p=state.p, step=state.step + 1)
+
+
+def multi_step(state: FluidState, params: FluidParams, cfg: IntegrateConfig,
+               n_steps: int) -> FluidState:
+    """n_steps golden steps under one jit trace via lax.scan."""
+    def body(s, _):
+        return step(s, params, cfg), None
+    out, _ = jax.lax.scan(body, state, None, length=n_steps)
+    return out
