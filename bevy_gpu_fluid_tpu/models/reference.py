@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from ..core.params import FluidParams, IntegrateConfig, GRAVITY_Y
 from ..core.state import FluidState
+from ..ops import integrator
 from ..ops.kernels import w_poly6, grad_spiky, laplacian_visc, eos_pressure
 
 _CHUNK = 1024  # rows per all-pairs block; bounds peak memory at CHUNK * N
@@ -100,8 +101,7 @@ def accel_field(state: FluidState, params: FluidParams) -> FluidState:
 
 def integrate(state: FluidState, cfg: IntegrateConfig) -> FluidState:
     """Semi-implicit Euler (reference: src/cpu/sph2d.rs:192-197)."""
-    vel = state.vel + state.acc * cfg.dt
-    pos = state.pos + vel * cfg.dt
+    pos, vel = integrator.euler(state.pos, state.vel, state.acc, cfg.dt)
     return FluidState(pos=pos, vel=vel, acc=state.acc,
                       rho=state.rho, p=state.p, step=state.step)
 
@@ -109,23 +109,8 @@ def integrate(state: FluidState, cfg: IntegrateConfig) -> FluidState:
 def apply_boundaries(state: FluidState, cfg: IntegrateConfig) -> FluidState:
     """Clamp + bounce on floor / right wall / left wall; no ceiling
     (reference: src/cpu/sph2d.rs:199-220). ``bounce`` is negative in demos."""
-    x, y = state.pos[:, 0], state.pos[:, 1]
-    vx, vy = state.vel[:, 0], state.vel[:, 1]
-
-    below = y < cfg.floor_y
-    y = jnp.where(below, cfg.floor_y, y)
-    vy = jnp.where(below, vy * cfg.bounce, vy)
-
-    right = x > cfg.x_max
-    x = jnp.where(right, cfg.x_max, x)
-    vx = jnp.where(right, vx * cfg.bounce, vx)
-
-    left = x < cfg.x_min
-    x = jnp.where(left, cfg.x_min, x)
-    vx = jnp.where(left, vx * cfg.bounce, vx)
-
-    return FluidState(pos=jnp.stack([x, y], axis=-1),
-                      vel=jnp.stack([vx, vy], axis=-1),
+    pos, vel = integrator.boundaries(state.pos, state.vel, cfg)
+    return FluidState(pos=pos, vel=vel,
                       acc=state.acc, rho=state.rho, p=state.p, step=state.step)
 
 

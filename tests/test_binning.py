@@ -1,0 +1,80 @@
+"""Invariants of the sort-based spatial hash (the replacement for the
+reference's 8-pass GPU grid builder, assets/shaders/grid_build.wgsl)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bevy_gpu_fluid_tpu import init_grid
+from bevy_gpu_fluid_tpu.core.params import GridSpec2D
+from bevy_gpu_fluid_tpu.ops.binning import (bin_particles, cell_ids,
+                                            sort_field, to_dense, from_dense)
+
+GRID = GridSpec2D.from_bounds(h=0.045, x_min=-1.0, x_max=3.0, y_min=-1.0,
+                              y_max=3.0, cap=8)
+
+
+def _random_pos(n, seed=0):
+    k = jax.random.PRNGKey(seed)
+    return jax.random.uniform(k, (n, 2), minval=-0.5, maxval=2.5)
+
+
+def test_csr_invariants():
+    pos = _random_pos(2000)
+    b = bin_particles(pos, GRID)
+    starts = np.asarray(b.starts)
+    assert starts[0] == 0 and starts[-1] == 2000  # sentinel == N, as the
+    # reference's write_sentinel pass (grid_build.wgsl:191-204)
+    assert (np.diff(starts) >= 0).all()
+    assert int(jnp.sum(b.counts)) == 2000
+    # sorted cell ids ascending; every particle appears exactly once
+    assert (np.diff(np.asarray(b.sorted_cell)) >= 0).all()
+    assert np.array_equal(np.sort(np.asarray(b.perm)), np.arange(2000))
+
+
+def test_determinism_and_stability():
+    pos = _random_pos(1000, seed=3)
+    b1 = bin_particles(pos, GRID)
+    b2 = bin_particles(pos, GRID)
+    np.testing.assert_array_equal(np.asarray(b1.perm), np.asarray(b2.perm))
+    # stable: within a cell, original index order is preserved — fixes the
+    # reference's nondeterministic atomic scatter (grid_build.wgsl:234-236)
+    perm = np.asarray(b1.perm)
+    cells = np.asarray(b1.sorted_cell)
+    for c in np.unique(cells):
+        idx = perm[cells == c]
+        assert (np.diff(idx) > 0).all()
+
+
+def test_dense_roundtrip():
+    pos = _random_pos(1500, seed=5)
+    b = bin_particles(pos, GRID)
+    x = pos[:, 0]
+    dense = to_dense(b, sort_field(b, x), fill=jnp.nan)
+    back = from_dense(b, dense)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), rtol=0, atol=0)
+    # empty slots carry the fill value, occupied the real ones
+    mask = np.asarray(b.slot_mask).reshape(dense.shape)
+    assert np.isnan(np.asarray(dense)[~mask]).all()
+    assert np.isfinite(np.asarray(dense)[mask]).all()
+
+
+def test_cell_ids_match_floor_convention():
+    # cell = floor((pos - origin)/h), the reference's convention
+    # (src/cpu/sph2d.rs:14-17 with origin recovery sph_density.wgsl:95-106)
+    pts = [(-1.0, -1.0), (-0.9999, -0.9999), (0.0, 0.0), (1.234, 0.567)]
+    cid = np.asarray(cell_ids(jnp.array(pts), GRID))
+    for got, (x, y) in zip(cid, pts):
+        ix = int(np.floor((np.float32(x) - np.float32(GRID.origin_x))
+                          / np.float32(GRID.cell_size)))
+        iy = int(np.floor((np.float32(y) - np.float32(GRID.origin_y))
+                          / np.float32(GRID.cell_size)))
+        assert got == ix + iy * GRID.nx
+
+
+def test_lattice_occupancy():
+    # 0.04 spacing lattice in 0.045 cells: max 2 per cell row -> <= 4 per cell
+    state = init_grid(32, 32, 0.04)
+    b = bin_particles(state.pos, GRID)
+    assert int(b.overflow) == 0
+    assert int(b.counts.max()) <= 4

@@ -1,0 +1,84 @@
+"""Parity gates: accelerated grid solver vs the golden model.
+
+Promotes the reference's manual parity examples into CI, at equal-or-better
+tolerances (reference: examples/gpu_parity10.rs:18-19 asserts rho max-rel
+<= 1% and p max-abs <= 30 after 10 steps; observed there: rho ~0.3%, and
+integration drift |dx| <= 0.000518 @ 10 steps, |dx| <= 0.005448 / |dv| <=
+2.734728 @ 100 steps, reference: docs/sprint3/sprint3.md:879-890).
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bevy_gpu_fluid_tpu import FluidParams, IntegrateConfig, demo_block_5k, init_grid
+from bevy_gpu_fluid_tpu.models import grid_solver, reference as golden
+
+CFG = IntegrateConfig.create()  # dt=0.0005, x in [-5, 3], bounce=-3
+GRID = grid_solver.default_grid(0.045, -5.0, 3.0, y_max=4.0, cap=8)
+
+
+def _run_both(state, params, n_steps):
+    g = jax.jit(lambda s: golden.multi_step(s, params, CFG, n_steps))(state)
+    a, diag = jax.jit(
+        lambda s: grid_solver.multi_step(s, params, CFG, GRID, n_steps))(state)
+    assert int(diag.overflow) == 0, "cell cap overflow during parity run"
+    return g, a
+
+
+def _sym_rel(a, b, eps=1e-6):
+    # symmetric relative norm, as the reference's integration parity uses
+    # (reference: examples/gpu_integration_parity.rs:18-23)
+    denom = jnp.maximum(jnp.maximum(jnp.abs(a), jnp.abs(b)), eps)
+    return jnp.abs(a - b) / denom
+
+
+class TestParity10:
+    """Density/pressure parity after 10 steps on the 5,041-particle scene
+    (reference: examples/gpu_parity10.rs)."""
+
+    @pytest.fixture(scope="class")
+    def run10(self):
+        state, params = demo_block_5k()
+        return _run_both(state, params, 10)
+
+    def test_density_max_rel(self, run10):
+        g, a = run10
+        rel = float(jnp.max(jnp.abs(a.rho - g.rho) / g.rho))
+        # gate (1%) and the reference's observed bar (0.3%)
+        assert rel <= 0.003, f"density max rel err {rel:.2e} > 0.3%"
+
+    def test_pressure_max_abs(self, run10):
+        g, a = run10
+        err = float(jnp.max(jnp.abs(a.p - g.p)))
+        assert err <= 30.0, f"pressure max abs err {err:.3f} > 30"
+
+    def test_integration_drift_10(self, run10):
+        g, a = run10
+        dx = float(jnp.max(jnp.abs(a.pos - g.pos)))
+        dv = float(jnp.max(jnp.abs(a.vel - g.vel)))
+        assert dx <= 0.000518, f"|dx| {dx:.2e} worse than reference's 5.18e-4"
+        assert dv <= 0.245602, f"|dv| {dv:.2e} worse than reference's 0.2456"
+
+
+def test_integration_drift_100():
+    # 100-step drift gate at the reference's observed bounds, on the
+    # 1,024-particle bench scene to keep the O(N^2) golden model CI-fast.
+    state = init_grid(32, 32, 0.04)
+    params = FluidParams.demo()
+    g, a = _run_both(state, params, 100)
+    dx = float(jnp.max(jnp.abs(a.pos - g.pos)))
+    dv = float(jnp.max(jnp.abs(a.vel - g.vel)))
+    assert bool(jnp.all(jnp.isfinite(a.pos)))
+    assert dx <= 0.005448, f"|dx| {dx:.2e} worse than reference's 5.448e-3"
+    assert dv <= 2.734728, f"|dv| {dv:.2e} worse than reference's 2.7347"
+
+
+def test_single_step_fields_match():
+    # one step: rho, p, acc agree elementwise to tight f32 tolerance
+    state, params = demo_block_5k()
+    g = golden.step(state, params, CFG)
+    a = grid_solver.step(state, params, CFG, GRID)
+    assert float(jnp.max(_sym_rel(a.rho, g.rho))) < 1e-5
+    assert float(jnp.max(jnp.abs(a.p - g.p))) < 0.05
+    assert float(jnp.max(jnp.abs(a.acc - g.acc))) < 0.05
