@@ -1,0 +1,99 @@
+"""Throughput benchmark: particle-steps/s/chip on the flagship solver.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline config is BASELINE.json config #4: 1M particles, full fused step
+(binning + density + pressure + forces + integrate + boundaries), dynamic
+scene.  ``vs_baseline`` is value / 10e6 — the north-star bar of >=10M
+particle-steps/s/chip (BASELINE.json); >=1.0 means target met.  For scale:
+the reference's own headline was ~1.9M particle-steps/s end-to-end
+(10,000 particles at 188 FPS, reference: README.md:81-86) — and unlike this
+bench, its harness never integrated the scene (examples/bench_gpu.rs runs
+with UseGpuIntegration(false), re-uploading a static scene every frame).
+
+Run with no args on the TPU host; use --n / --steps / --case to vary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+import bevy_gpu_fluid_tpu as bgf
+from bevy_gpu_fluid_tpu.models import grid_solver, pallas_solver
+
+NORTH_STAR = 10_000_000.0  # particle-steps/s/chip, BASELINE.json
+
+
+def bench_case(n_particles: int, n_steps: int, cap: int = 8,
+               verbose: bool = False) -> dict:
+    side = int(math.isqrt(n_particles))
+    n = side * side
+    state = bgf.init_grid(side, side, 0.04)
+    params = bgf.FluidParams.demo()
+    extent = side * 0.04
+    # box fitted to the block with splash margin on all sides
+    cfg = bgf.IntegrateConfig.create(x_min=-1.0, x_max=extent + 1.0)
+    grid = grid_solver.default_grid(0.045, -1.0, extent + 1.0,
+                                    y_max=extent * 1.1 + 1.0, cap=cap)
+
+    chunk = jax.jit(lambda s: pallas_solver.multi_step(s, params, cfg, grid,
+                                                       n_steps))
+
+    # warmup: compile + one chunk
+    t0 = time.time()
+    s, diag = jax.block_until_ready(chunk(state))
+    t_compile = time.time() - t0
+
+    t0 = time.time()
+    s, diag = jax.block_until_ready(chunk(s))
+    dt = time.time() - t0
+
+    rate = n * n_steps / dt
+    if verbose:
+        print(f"# n={n} steps={n_steps} compile+first={t_compile:.1f}s "
+              f"run={dt:.3f}s ({dt / n_steps * 1e3:.2f} ms/step) "
+              f"overflow={int(diag.overflow)} "
+              f"finite={bool(jnp.isfinite(s.pos).all())}", file=sys.stderr)
+    return {"n": n, "steps": n_steps, "seconds": dt, "rate": rate,
+            "ms_per_step": dt / n_steps * 1e3, "overflow": int(diag.overflow)}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--cap", type=int, default=8)
+    ap.add_argument("--sweep", action="store_true",
+                    help="also run 10k/100k cases (reported to stderr)")
+    args = ap.parse_args()
+
+    if args.sweep:
+        for n in (10_000, 100_000):
+            bench_case(n, args.steps, cap=args.cap, verbose=True)
+
+    r = bench_case(args.n, args.steps, cap=args.cap, verbose=True)
+    print(json.dumps({
+        "metric": f"particle_steps_per_sec_per_chip_{args.n // 1000}k",
+        "value": round(r["rate"], 1),
+        "unit": "particle-steps/s",
+        "vs_baseline": round(r["rate"] / NORTH_STAR, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -108,10 +108,34 @@ class GridSpec2D:
     nx: int
     ny: int
     cap: int
+    row_block: int = 8  # cell rows per Pallas program (TB)
 
     @property
     def num_cells(self) -> int:
         return self.nx * self.ny
+
+    @property
+    def nx_pad(self) -> int:
+        """Lane-dim width of the dense layout: real cols at 1..nx plus a
+        ghost col 0 and right padding, rounded up to a multiple of 128."""
+        return ((self.nx + 2) + 127) // 128 * 128
+
+    @property
+    def n_row_blocks(self) -> int:
+        """Interior row blocks (each row_block rows) covering ny real rows
+        plus the two single ghost rows of the 3x3 stencil."""
+        return -(-(self.ny + 2) // self.row_block)
+
+    @property
+    def row0(self) -> int:
+        """Row index of real cell-row 0: one leading ghost BLOCK (so stencil
+        taps at block r-1 never clamp) plus the single ghost stencil row."""
+        return self.row_block + 1
+
+    @property
+    def ny_pad(self) -> int:
+        """Total rows: ghost block + interior blocks + ghost block."""
+        return (self.n_row_blocks + 2) * self.row_block
 
     @staticmethod
     def from_bounds(h: float, x_min: float, x_max: float,

@@ -2,8 +2,10 @@
 
 The reference stored particles as an array-of-structs (``Particle{pos, vel,
 acc, rho, p}``, reference: src/cpu/sph2d.rs:48-55) — acknowledged there as a
-prototyping shortcut.  On TPU the natural layout is SoA so each field maps to
-contiguous (8,128)-tileable lanes.
+prototyping shortcut.  On TPU the natural layout is one flat array per scalar
+component: a [N, 2] position array would put only 2 elements in the 128-lane
+dimension and waste 98% of the VPU, so ``pos``/``vel``/``acc`` exist only as
+convenience views.
 
 ``step`` mirrors the reference's ``SimStep`` counter resource (reference:
 src/cpu/sph2d.rs:7-8).
@@ -22,34 +24,51 @@ from .params import FluidParams
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=("pos", "vel", "acc", "rho", "p", "step"), meta_fields=())
+         data_fields=("x", "y", "vx", "vy", "ax", "ay", "rho", "p", "step"),
+         meta_fields=())
 @dataclasses.dataclass
 class FluidState:
-    """SoA particle state.
+    """SoA particle state; every field float32[N] (step: int32 scalar)."""
 
-    pos, vel, acc: float32[N, 2]; rho, p: float32[N]; step: int32 scalar.
-    """
-
-    pos: jax.Array
-    vel: jax.Array
-    acc: jax.Array
+    x: jax.Array
+    y: jax.Array
+    vx: jax.Array
+    vy: jax.Array
+    ax: jax.Array
+    ay: jax.Array
     rho: jax.Array
     p: jax.Array
     step: jax.Array
 
     @property
     def n(self) -> int:
-        return self.pos.shape[0]
+        return self.x.shape[0]
+
+    # Convenience [N, 2] views (NOT for hot paths — lane-hostile layout).
+    @property
+    def pos(self) -> jax.Array:
+        return jnp.stack([self.x, self.y], axis=-1)
+
+    @property
+    def vel(self) -> jax.Array:
+        return jnp.stack([self.vx, self.vy], axis=-1)
+
+    @property
+    def acc(self) -> jax.Array:
+        return jnp.stack([self.ax, self.ay], axis=-1)
+
+    def replace(self, **kw) -> "FluidState":
+        return dataclasses.replace(self, **kw)
 
 
-def from_positions(pos: jax.Array) -> FluidState:
-    """Zero-velocity state from positions (reference: Particle::new, sph2d.rs:57-66)."""
+def from_positions(pos) -> FluidState:
+    """Zero-velocity state from [N, 2] positions
+    (reference: Particle::new, sph2d.rs:57-66)."""
     pos = jnp.asarray(pos, jnp.float32)
     n = pos.shape[0]
-    zeros2 = jnp.zeros((n, 2), jnp.float32)
-    zeros1 = jnp.zeros((n,), jnp.float32)
-    return FluidState(pos=pos, vel=zeros2, acc=zeros2, rho=zeros1, p=zeros1,
-                      step=jnp.int32(0))
+    z = jnp.zeros((n,), jnp.float32)
+    return FluidState(x=pos[:, 0], y=pos[:, 1], vx=z, vy=z, ax=z, ay=z,
+                      rho=z, p=z, step=jnp.int32(0))
 
 
 def init_grid(n_x: int, n_y: int, spacing: float) -> FluidState:
@@ -58,8 +77,10 @@ def init_grid(n_x: int, n_y: int, spacing: float) -> FluidState:
     ix = jnp.arange(n_x, dtype=jnp.float32)
     iy = jnp.arange(n_y, dtype=jnp.float32)
     xx, yy = jnp.meshgrid(ix * spacing, iy * spacing, indexing="xy")
-    pos = jnp.stack([xx.reshape(-1), yy.reshape(-1)], axis=-1)
-    return from_positions(pos)
+    n = n_x * n_y
+    z = jnp.zeros((n,), jnp.float32)
+    return FluidState(x=xx.reshape(-1), y=yy.reshape(-1), vx=z, vy=z,
+                      ax=z, ay=z, rho=z, p=z, step=jnp.int32(0))
 
 
 def demo_block_5k() -> tuple[FluidState, FluidParams]:

@@ -1,0 +1,281 @@
+"""Fused Pallas TPU kernels for the SPH density and force stencils.
+
+The flagship compute path — the TPU-native analog of the reference's fused
+DensityNode, which dispatched density -> pressure -> forces -> integrate
+back-to-back in one compute pass (reference: src/gpu/pipeline.rs:284-313,
+kernels assets/shaders/sph_density.wgsl).
+
+Kernel shape: the dense slot grid is [ny_pad, cap, nx_pad] (see
+ops/binning.py).  Inputs stay in HBM (memory_space=ANY); each program owns a
+block of row_block (TB) cell rows and DMAs the exact (TB+2)-row halo window of
+every field into VMEM scratch — the canonical Pallas stencil pattern, with no
+tap duplication and ~5 MB of VMEM at the 1M-particle grid width.  Row-shifted
+neighbour views are static slices of the scratch slab; neighbour cells in x
+are lane-rolls (wraparound is harmless: the ghost columns carry the FAR
+sentinel and fail the r^2 < h^2 gate).  A slab tile is [TB, cap=8, nx_pad] —
+8 sublanes x 128-lane multiples, the native f32 tile.
+
+Per program the pair loop is 3 row-shifts x 3 x-shifts x cap neighbour slots
+= 72 fully vectorized [TB, cap, nx_pad] VPU iterations — the same arithmetic
+as the reference's per-thread 3x3 CSR walk, but with zero divergence and zero
+irregular memory access.
+
+The force kernel re-derives EOS pressure and reciprocal density from rho
+in-register (one pass per slab), so only five dense fields ever live in HBM
+(x, y, vx, vy, rho) — the reference's separate ``pressure_main`` pass
+(sph_density.wgsl:165-175) has no HBM counterpart here at all.
+
+Output ghost blocks are never written (the grid covers interior blocks only);
+garbage there flows only into pair terms whose FAR positions fail the
+r^2 < h^2 gate, and NaN/Inf cannot escape a discarded select branch.
+
+CI note: on non-TPU backends the kernels run in Pallas interpreter mode
+(``interpret=True``) — a CI story the reference never had (its GPU path was
+untestable without a physical GPU).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.params import FluidParams, IntegrateConfig, GridSpec2D
+from ..core.state import FluidState
+from . import grid_solver
+
+_EPS = 1e-6  # grad/laplacian zero-distance cutoff (sph_density.wgsl:1)
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _copy_slab(hbm_ref, scratch_ref, sem, row_start, rows):
+    return pltpu.make_async_copy(
+        hbm_ref.at[pl.ds(row_start, rows)], scratch_ref, sem)
+
+
+def _shift(slab: jax.Array, dy: int, tb: int) -> jax.Array:
+    """Rows [1+dy, 1+dy+tb) of a (tb+2)-row slab: neighbour row view."""
+    return jax.lax.slice_in_dim(slab, 1 + dy, 1 + dy + tb, axis=0)
+
+
+def _roll(a: jax.Array, dx: int) -> jax.Array:
+    """Lane roll with out[..., x] = a[..., x+dx]."""
+    return a if dx == 0 else jnp.roll(a, -dx, axis=-1)
+
+
+def _density_kernel(pr, x_hbm, y_hbm, rho_ref, xs, ys, sems, *, tb):
+    r = pl.program_id(0)
+    row_start = (r + 1) * tb - 1
+    cx = _copy_slab(x_hbm, xs, sems.at[0], row_start, tb + 2)
+    cy = _copy_slab(y_hbm, ys, sems.at[1], row_start, tb + 2)
+    cx.start()
+    cy.start()
+    cx.wait()
+    cy.wait()
+
+    h = pr[0, 0]
+    m = pr[0, 1]
+    h2 = h * h
+    cap = xs.shape[1]
+
+    xi = _shift(xs[...], 0, tb)
+    yi = _shift(ys[...], 0, tb)
+
+    rho = jnp.zeros_like(xi)
+    for dy in (-1, 0, 1):
+        tx = _shift(xs[...], dy, tb)
+        ty = _shift(ys[...], dy, tb)
+        for dx in (-1, 0, 1):
+            rx = _roll(tx, dx)
+            ry = _roll(ty, dx)
+            for kj in range(cap):
+                ddx = xi - rx[:, kj:kj + 1, :]
+                ddy = yi - ry[:, kj:kj + 1, :]
+                r2 = ddx * ddx + ddy * ddy
+                d = h2 - r2
+                rho = rho + jnp.where(r2 < h2, d * d * d, 0.0)
+
+    # fold in the Poly6 normalization once: m * 4/(pi h^8)
+    rho_ref[...] = rho * (m * 4.0 / (jnp.pi * (h2 * h2) * (h2 * h2)))
+
+
+def _forces_kernel(pr, x_hbm, y_hbm, vx_hbm, vy_hbm, rho_hbm,
+                   ax_ref, ay_ref, xs, ys, vxs, vys, rs, sems, *, tb):
+    r = pl.program_id(0)
+    row_start = (r + 1) * tb - 1
+    copies = [
+        _copy_slab(x_hbm, xs, sems.at[0], row_start, tb + 2),
+        _copy_slab(y_hbm, ys, sems.at[1], row_start, tb + 2),
+        _copy_slab(vx_hbm, vxs, sems.at[2], row_start, tb + 2),
+        _copy_slab(vy_hbm, vys, sems.at[3], row_start, tb + 2),
+        _copy_slab(rho_hbm, rs, sems.at[4], row_start, tb + 2),
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    h = pr[0, 0]
+    m = pr[0, 1]
+    rho0 = pr[0, 2]
+    k = pr[0, 3]
+    mu = pr[0, 4]
+    h2 = h * h
+    h5 = (h2 * h2) * h
+    spiky_c = -10.0 / (jnp.pi * h5)
+    visc_c = 40.0 / (jnp.pi * h5)
+
+    # EOS + reciprocal once per slab (ghost-row garbage is gated by FAR)
+    rho_slab = rs[...]
+    p_slab = k * jnp.maximum(rho_slab - rho0, 0.0)
+    ir_slab = 1.0 / jnp.maximum(rho_slab, 1e-12)
+
+    xi = _shift(xs[...], 0, tb)
+    yi = _shift(ys[...], 0, tb)
+    vxi = _shift(vxs[...], 0, tb)
+    vyi = _shift(vys[...], 0, tb)
+    pi_ = _shift(p_slab, 0, tb)
+    cap = xi.shape[1]
+    ki = jax.lax.broadcasted_iota(jnp.int32, (1, cap, 1), 1)
+
+    ax = jnp.zeros_like(xi)
+    ay = jnp.zeros_like(xi)
+    for dy in (-1, 0, 1):
+        tx = _shift(xs[...], dy, tb)
+        ty = _shift(ys[...], dy, tb)
+        tvx = _shift(vxs[...], dy, tb)
+        tvy = _shift(vys[...], dy, tb)
+        tp = _shift(p_slab, dy, tb)
+        ti = _shift(ir_slab, dy, tb)
+        for dx in (-1, 0, 1):
+            rx, ry = _roll(tx, dx), _roll(ty, dx)
+            rvx, rvy = _roll(tvx, dx), _roll(tvy, dx)
+            rp, ri = _roll(tp, dx), _roll(ti, dx)
+            center = dy == 0 and dx == 0
+            for kj in range(cap):
+                ddx = xi - rx[:, kj:kj + 1, :]
+                ddy = yi - ry[:, kj:kj + 1, :]
+                r2 = ddx * ddx + ddy * ddy
+                ok = r2 < h2
+                if center:
+                    ok = ok & (ki != kj)
+
+                dist = jnp.sqrt(r2)
+                near = dist >= _EPS
+                inv_r = jnp.where(near,
+                                  1.0 / jnp.where(near, dist, 1.0), 0.0)
+                hr = h - dist
+
+                # a_p = -m (p_i+p_j)/(2 rho_j) * spiky_c*(h-r)^2 * r_hat
+                fac_p = (-m * 0.5) * (pi_ + rp[:, kj:kj + 1, :]) \
+                    * ri[:, kj:kj + 1, :] * (spiky_c * hr * hr * inv_r)
+                # a_v = mu m (v_j - v_i)/rho_j * visc_c*(h-r)
+                fac_v = (mu * m * visc_c) * hr * ri[:, kj:kj + 1, :] \
+                    * jnp.where(near, 1.0, 0.0)
+
+                ax = ax + jnp.where(
+                    ok, fac_p * ddx + fac_v * (rvx[:, kj:kj + 1, :] - vxi),
+                    0.0)
+                ay = ay + jnp.where(
+                    ok, fac_p * ddy + fac_v * (rvy[:, kj:kj + 1, :] - vyi),
+                    0.0)
+    ax_ref[...] = ax
+    ay_ref[...] = ay
+
+
+def _params_vec(params: FluidParams) -> jax.Array:
+    return jnp.stack([params.h, params.m, params.rho_0, params.k,
+                      params.mu, 0.0, 0.0, 0.0]).reshape(1, 8)
+
+
+def _slab(grid: GridSpec2D):
+    return pltpu.VMEM((grid.row_block + 2, grid.cap, grid.nx_pad),
+                      jnp.float32)
+
+
+def density_pallas(xd, yd, params: FluidParams, grid: GridSpec2D,
+                   interpret: bool | None = None) -> jax.Array:
+    """Fused density stencil over the dense grid. Returns rho_d."""
+    if interpret is None:
+        interpret = _interpret_default()
+    tb = grid.row_block
+    import functools
+    kernel = functools.partial(_density_kernel, tb=tb)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid.n_row_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda r: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((tb, grid.cap, grid.nx_pad),
+                               lambda r: (r + 1, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(xd.shape, jnp.float32),
+        scratch_shapes=[_slab(grid), _slab(grid),
+                        pltpu.SemaphoreType.DMA((2,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(_params_vec(params), xd, yd)
+
+
+def forces_pallas(xd, yd, vxd, vyd, rho_d, params: FluidParams,
+                  grid: GridSpec2D, interpret: bool | None = None):
+    """Fused pressure+viscosity acceleration over the dense grid (EOS and
+    1/rho derived in-kernel). Returns (ax_d, ay_d)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    tb = grid.row_block
+    import functools
+    kernel = functools.partial(_forces_kernel, tb=tb)
+    out = jax.ShapeDtypeStruct(xd.shape, jnp.float32)
+    block = pl.BlockSpec((tb, grid.cap, grid.nx_pad), lambda r: (r + 1, 0, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(grid.n_row_blocks,),
+        in_specs=[pl.BlockSpec((1, 8), lambda r: (0, 0),
+                               memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.ANY)] * 5,
+        out_specs=(block, block),
+        out_shape=(out, out),
+        scratch_shapes=[_slab(grid)] * 5 + [pltpu.SemaphoreType.DMA((5,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(_params_vec(params), xd, yd, vxd, vyd, rho_d)
+
+
+def make_stencils(grid: GridSpec2D, interpret: bool | None = None):
+    """Stencil pair pluggable into grid_solver's step glue."""
+    def density_fn(xd, yd, params):
+        return density_pallas(xd, yd, params, grid, interpret)
+
+    def forces_fn(xd, yd, vxd, vyd, rho_d, params):
+        return forces_pallas(xd, yd, vxd, vyd, rho_d, params, grid, interpret)
+    return density_fn, forces_fn
+
+
+def step_with_diag(state: FluidState, params: FluidParams,
+                   cfg: IntegrateConfig, grid: GridSpec2D,
+                   interpret: bool | None = None):
+    """One full step on the fused Pallas path."""
+    return grid_solver.step_with_diag(state, params, cfg, grid,
+                                      stencils=make_stencils(grid, interpret))
+
+
+def step(state: FluidState, params: FluidParams, cfg: IntegrateConfig,
+         grid: GridSpec2D, interpret: bool | None = None) -> FluidState:
+    return step_with_diag(state, params, cfg, grid, interpret)[0]
+
+
+def multi_step(state: FluidState, params: FluidParams, cfg: IntegrateConfig,
+               grid: GridSpec2D, n_steps: int,
+               interpret: bool | None = None):
+    return grid_solver.multi_step(state, params, cfg, grid, n_steps,
+                                  stencils=make_stencils(grid, interpret))

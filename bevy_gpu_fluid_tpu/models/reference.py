@@ -35,6 +35,10 @@ def _row_chunks(n: int):
         yield s, min(s + _CHUNK, n)
 
 
+def _cat(parts):
+    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
 def density_pressure(state: FluidState, params: FluidParams) -> FluidState:
     """rho_i = m * sum_{j: r^2 < h^2} W_poly6(r^2);  p = k*max(rho-rho_0, 0).
 
@@ -42,7 +46,7 @@ def density_pressure(state: FluidState, params: FluidParams) -> FluidState:
     (src/cpu/sph2d.rs:123-134 — particle i is in its own cell's list).
     """
     n = state.n
-    x, y = state.pos[:, 0], state.pos[:, 1]
+    x, y = state.x, state.y
     h = params.h
     h2 = h * h
     rho_parts = []
@@ -53,9 +57,8 @@ def density_pressure(state: FluidState, params: FluidParams) -> FluidState:
         # strict gate mirrors the CPU loop (src/cpu/sph2d.rs:128)
         w = jnp.where(r2 < h2, w_poly6(r2, h), 0.0)
         rho_parts.append(params.m * jnp.sum(w, axis=1))
-    rho = jnp.concatenate(rho_parts) if len(rho_parts) > 1 else rho_parts[0]
-    return FluidState(pos=state.pos, vel=state.vel, acc=state.acc,
-                      rho=rho, p=eos_pressure(rho, params), step=state.step)
+    rho = _cat(rho_parts)
+    return state.replace(rho=rho, p=eos_pressure(rho, params))
 
 
 def accel_field(state: FluidState, params: FluidParams) -> FluidState:
@@ -66,8 +69,7 @@ def accel_field(state: FluidState, params: FluidParams) -> FluidState:
       a_v = mu m (v_j - v_i) / rho_j * lapW_visc(|r|)
     """
     n = state.n
-    x, y = state.pos[:, 0], state.pos[:, 1]
-    vx, vy = state.vel[:, 0], state.vel[:, 1]
+    x, y, vx, vy = state.x, state.y, state.vx, state.vy
     rho, p = state.rho, state.p
     h, m, mu = params.h, params.m, params.mu
 
@@ -87,31 +89,27 @@ def accel_field(state: FluidState, params: FluidParams) -> FluidState:
         lap = laplacian_visc(r, h)
         fac_v = mu * m * lap * inv_rho[None, :]
 
-        ax = not_self * (fac_p * gx + fac_v * (vx[None, :] - vx[s:e, None]))
-        ay = not_self * (fac_p * gy + fac_v * (vy[None, :] - vy[s:e, None]))
-        ax_parts.append(jnp.sum(ax, axis=1))
-        ay_parts.append(jnp.sum(ay, axis=1))
+        axc = not_self * (fac_p * gx + fac_v * (vx[None, :] - vx[s:e, None]))
+        ayc = not_self * (fac_p * gy + fac_v * (vy[None, :] - vy[s:e, None]))
+        ax_parts.append(jnp.sum(axc, axis=1))
+        ay_parts.append(jnp.sum(ayc, axis=1))
 
-    ax = jnp.concatenate(ax_parts) if len(ax_parts) > 1 else ax_parts[0]
-    ay = jnp.concatenate(ay_parts) if len(ay_parts) > 1 else ay_parts[0]
-    acc = jnp.stack([ax, ay + GRAVITY_Y], axis=-1)
-    return FluidState(pos=state.pos, vel=state.vel, acc=acc,
-                      rho=state.rho, p=state.p, step=state.step)
+    return state.replace(ax=_cat(ax_parts), ay=_cat(ay_parts) + GRAVITY_Y)
 
 
 def integrate(state: FluidState, cfg: IntegrateConfig) -> FluidState:
     """Semi-implicit Euler (reference: src/cpu/sph2d.rs:192-197)."""
-    pos, vel = integrator.euler(state.pos, state.vel, state.acc, cfg.dt)
-    return FluidState(pos=pos, vel=vel, acc=state.acc,
-                      rho=state.rho, p=state.p, step=state.step)
+    x, y, vx, vy = integrator.euler(state.x, state.y, state.vx, state.vy,
+                                    state.ax, state.ay, cfg.dt)
+    return state.replace(x=x, y=y, vx=vx, vy=vy)
 
 
 def apply_boundaries(state: FluidState, cfg: IntegrateConfig) -> FluidState:
     """Clamp + bounce on floor / right wall / left wall; no ceiling
     (reference: src/cpu/sph2d.rs:199-220). ``bounce`` is negative in demos."""
-    pos, vel = integrator.boundaries(state.pos, state.vel, cfg)
-    return FluidState(pos=pos, vel=vel,
-                      acc=state.acc, rho=state.rho, p=state.p, step=state.step)
+    x, y, vx, vy = integrator.boundaries(state.x, state.y, state.vx,
+                                         state.vy, cfg)
+    return state.replace(x=x, y=y, vx=vx, vy=vy)
 
 
 def step(state: FluidState, params: FluidParams,
@@ -121,8 +119,7 @@ def step(state: FluidState, params: FluidParams,
     state = accel_field(state, params)
     state = integrate(state, cfg)
     state = apply_boundaries(state, cfg)
-    return FluidState(pos=state.pos, vel=state.vel, acc=state.acc,
-                      rho=state.rho, p=state.p, step=state.step + 1)
+    return state.replace(step=state.step + 1)
 
 
 def multi_step(state: FluidState, params: FluidParams, cfg: IntegrateConfig,

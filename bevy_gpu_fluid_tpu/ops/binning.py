@@ -6,9 +6,12 @@ block_sums_scan / add_back / write_sentinel / clear_cursor / scatter,
 reference: assets/shaders/grid_build.wgsl + src/gpu/grid_build.rs, ~980 LoC)
 and the per-frame CPU CSR rebuild (reference: src/gpu/buffers.rs:395-448).
 
-TPUs have no global atomics, so instead of histogram+scatter we sort particle
-indices by cell id (XLA's stable sort) and derive CSR starts by binary search.
-Two wins over the reference by construction:
+The structure actually mirrors the reference's counting sort, re-expressed in
+XLA collectives-of-one: histogram -> one scatter-add; the reference's 5-pass
+hierarchical prefix scan (block_scan / block_sums_scan / add_back /
+write_sentinel + disabled naive fallback) -> one ``jnp.cumsum``; the atomic
+scatter -> a stable ``argsort`` + vectorized scatter at statically-known
+unique slots.  Two wins by construction:
 
 * fully deterministic within-cell order — the reference's atomic scatter order
   was nondeterministic (grid_build.wgsl:234-236, an acknowledged defect);
@@ -20,10 +23,18 @@ out-of-domain coordinates clamp into the boundary cells, which is safe because
 every pair interaction is re-gated by r^2 < h^2 (the reference clamps its
 histogram index identically, grid_build.wgsl:57-66).
 
-The dense view exposes per-cell slots [C, cap] by *gather* (not scatter):
-slot (c, k) holds sorted position starts[c]+k when k < count(c).  Particles
-beyond ``cap`` in an overcrowded cell overflow; ``overflow`` counts them for
-diagnostics and tests assert it is zero for well-capped scenes.
+Dense layout (chosen for the TPU memory system): ``[ny_pad, cap, nx_pad]`` —
+the x-column axis is LAST so it maps onto the 128 vector lanes, and ``cap``
+(default 8) maps onto the f32 sublanes, giving exactly one (8, 128) register
+tile per row-chunk of cells.  Guaranteed-empty ghost rows/columns surround the
+real grid (see GridSpec2D.row0/ny_pad/nx_pad) so stencil kernels can shift by
++-1 in either axis — wraparound and block taps only ever touch empty ghosts.
+Empty slots are not masked but *sentineled*: position fields fill with
+FAR = 1e9 so every pair test against an empty slot fails the r^2 < h^2 gate
+for free.
+
+Particles beyond ``cap`` in an overcrowded cell overflow (dropped from the
+dense view); ``overflow`` counts them for diagnostics.
 """
 
 from __future__ import annotations
@@ -36,10 +47,13 @@ import jax.numpy as jnp
 
 from ..core.params import GridSpec2D
 
+FAR = 1.0e9  # empty-slot sentinel for position fields
+
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=("perm", "inv_perm", "sorted_cell", "sorted_rank",
-                      "starts", "counts", "slot_idx", "slot_mask", "overflow"),
+                      "sorted_cx", "sorted_cy", "starts", "counts",
+                      "overflow"),
          meta_fields=("grid",))
 @dataclasses.dataclass
 class Binned:
@@ -49,10 +63,9 @@ class Binned:
     inv_perm:    int32[N]  sorted position of original particle i
     sorted_cell: int32[N]  cell id per sorted slot (ascending)
     sorted_rank: int32[N]  rank within its cell per sorted slot
+    sorted_cx/cy:int32[N]  cell coords per sorted slot
     starts:      int32[C+1] CSR starts into sorted order (starts[C] == N)
     counts:      int32[C]
-    slot_idx:    int32[C, cap] sorted-order index per dense slot (N = empty)
-    slot_mask:   bool [C, cap]
     overflow:    int32 scalar — number of particles with rank >= cap
     """
 
@@ -60,54 +73,51 @@ class Binned:
     inv_perm: jax.Array
     sorted_cell: jax.Array
     sorted_rank: jax.Array
+    sorted_cx: jax.Array
+    sorted_cy: jax.Array
     starts: jax.Array
     counts: jax.Array
-    slot_idx: jax.Array
-    slot_mask: jax.Array
     overflow: jax.Array
     grid: GridSpec2D
 
 
-def cell_coords(pos: jax.Array, grid: GridSpec2D) -> tuple[jax.Array, jax.Array]:
-    """Clamped integer cell coordinates (cx, cy) for positions [N, 2]."""
+def cell_coords(x: jax.Array, y: jax.Array,
+                grid: GridSpec2D) -> tuple[jax.Array, jax.Array]:
+    """Clamped integer cell coordinates for component position arrays [N]."""
     inv = 1.0 / grid.cell_size
-    cx = jnp.floor((pos[:, 0] - grid.origin_x) * inv).astype(jnp.int32)
-    cy = jnp.floor((pos[:, 1] - grid.origin_y) * inv).astype(jnp.int32)
-    cx = jnp.clip(cx, 0, grid.nx - 1)
-    cy = jnp.clip(cy, 0, grid.ny - 1)
-    return cx, cy
+    cx = jnp.floor((x - grid.origin_x) * inv).astype(jnp.int32)
+    cy = jnp.floor((y - grid.origin_y) * inv).astype(jnp.int32)
+    return jnp.clip(cx, 0, grid.nx - 1), jnp.clip(cy, 0, grid.ny - 1)
 
 
-def cell_ids(pos: jax.Array, grid: GridSpec2D) -> jax.Array:
+def cell_ids(x: jax.Array, y: jax.Array, grid: GridSpec2D) -> jax.Array:
     """Linear cell id = cx + cy * nx (reference: sph_density.wgsl:108-110)."""
-    cx, cy = cell_coords(pos, grid)
+    cx, cy = cell_coords(x, y, grid)
     return cx + cy * grid.nx
 
 
-def bin_particles(pos: jax.Array, grid: GridSpec2D) -> Binned:
-    n = pos.shape[0]
-    cid = cell_ids(pos, grid)
+def bin_particles(x: jax.Array, y: jax.Array, grid: GridSpec2D) -> Binned:
+    n = x.shape[0]
+    cid = cell_ids(x, y, grid)
     perm = jnp.argsort(cid, stable=True)          # deterministic within-cell
     sorted_cell = cid[perm]
     inv_perm = jnp.zeros((n,), jnp.int32).at[perm].set(
         jnp.arange(n, dtype=jnp.int32))
 
-    starts = jnp.searchsorted(
-        sorted_cell, jnp.arange(grid.num_cells + 1, dtype=jnp.int32),
-        side="left").astype(jnp.int32)
-    counts = starts[1:] - starts[:-1]
+    # histogram + prefix-sum (the reference's 6 grid passes in two XLA ops)
+    counts = jnp.zeros((grid.num_cells,), jnp.int32).at[cid].add(1)
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(counts, dtype=jnp.int32)])
     sorted_rank = jnp.arange(n, dtype=jnp.int32) - starts[sorted_cell]
-
-    k = jnp.arange(grid.cap, dtype=jnp.int32)
-    slot_idx = starts[:-1, None] + k[None, :]          # [C, cap]
-    slot_mask = k[None, :] < counts[:, None]
-    slot_idx = jnp.where(slot_mask, slot_idx, n)
+    sorted_cx = sorted_cell % grid.nx
+    sorted_cy = sorted_cell // grid.nx
 
     overflow = jnp.sum((counts - grid.cap).clip(min=0)).astype(jnp.int32)
     return Binned(perm=perm, inv_perm=inv_perm, sorted_cell=sorted_cell,
-                  sorted_rank=sorted_rank, starts=starts, counts=counts,
-                  slot_idx=slot_idx, slot_mask=slot_mask, overflow=overflow,
-                  grid=grid)
+                  sorted_rank=sorted_rank, sorted_cx=sorted_cx,
+                  sorted_cy=sorted_cy, starts=starts, counts=counts,
+                  overflow=overflow, grid=grid)
 
 
 def sort_field(binned: Binned, field: jax.Array) -> jax.Array:
@@ -115,30 +125,37 @@ def sort_field(binned: Binned, field: jax.Array) -> jax.Array:
     return field[binned.perm]
 
 
+def _dense_coords(binned: Binned):
+    g = binned.grid
+    cy = binned.sorted_cy + g.row0
+    cx = binned.sorted_cx + 1
+    # rank >= cap -> out-of-bounds sublane -> dropped by scatter mode="drop"
+    rk = jnp.where(binned.sorted_rank < g.cap, binned.sorted_rank,
+                   g.cap + (1 << 20))
+    return cy, rk, cx
+
+
 def to_dense(binned: Binned, sorted_field: jax.Array,
              fill: float = 0.0) -> jax.Array:
-    """Gather a sorted per-particle field [N, ...] into dense cell slots
-    [ny, nx, cap, ...]; empty slots get ``fill``."""
-    n = sorted_field.shape[0]
-    pad = jnp.full((1,) + sorted_field.shape[1:], fill, sorted_field.dtype)
-    padded = jnp.concatenate([sorted_field, pad], axis=0)
-    dense = padded[binned.slot_idx]                      # [C, cap, ...]
+    """Scatter a sorted per-particle field [N] into dense cell slots
+    [ny_pad, cap, nx_pad]; empty slots (and the ghost border) hold ``fill``.
+    Target slots are unique by construction, so the scatter is deterministic
+    (unlike the reference's atomic scatter, grid_build.wgsl:224-243)."""
     g = binned.grid
-    return dense.reshape((g.ny, g.nx, g.cap) + sorted_field.shape[1:])
+    cy, rk, cx = _dense_coords(binned)
+    base = jnp.full((g.ny_pad, g.cap, g.nx_pad), fill, sorted_field.dtype)
+    return base.at[cy, rk, cx].set(sorted_field, mode="drop")
 
 
 def from_dense(binned: Binned, dense: jax.Array,
                fallback: jax.Array | float = 0.0) -> jax.Array:
     """Read per-particle values (ORIGINAL order) back out of a dense
-    [ny, nx, cap, ...] result.  Overflowed particles (rank >= cap) get
+    [ny_pad, cap, nx_pad] result.  Overflowed particles (rank >= cap) get
     ``fallback``."""
     g = binned.grid
-    flat = dense.reshape((g.num_cells * g.cap,) + dense.shape[3:])
     rank = binned.sorted_rank
-    in_cap = rank < g.cap
-    lin = binned.sorted_cell * g.cap + jnp.minimum(rank, g.cap - 1)
-    vals_sorted = flat[lin]
-    if dense.ndim > 3:
-        in_cap = in_cap.reshape((-1,) + (1,) * (vals_sorted.ndim - 1))
-    vals_sorted = jnp.where(in_cap, vals_sorted, fallback)
-    return vals_sorted[binned.inv_perm]
+    vals = dense[binned.sorted_cy + g.row0,
+                 jnp.minimum(rank, g.cap - 1),
+                 binned.sorted_cx + 1]
+    vals = jnp.where(rank < g.cap, vals, fallback)
+    return vals[binned.inv_perm]

@@ -1,4 +1,4 @@
-"""Semi-implicit Euler integration and boundary handling.
+"""Semi-implicit Euler integration and boundary handling (component SoA).
 
 Shared by the golden model and the accelerated solvers so the math exists in
 exactly one place (the reference had it twice: src/cpu/sph2d.rs:192-220 and
@@ -13,21 +13,16 @@ import jax.numpy as jnp
 from ..core.params import IntegrateConfig
 
 
-def euler(pos: jax.Array, vel: jax.Array, acc: jax.Array,
-          dt: jax.Array) -> tuple[jax.Array, jax.Array]:
+def euler(x, y, vx, vy, ax, ay, dt):
     """v += a*dt; x += v*dt (reference: src/cpu/sph2d.rs:192-197)."""
-    vel = vel + acc * dt
-    pos = pos + vel * dt
-    return pos, vel
+    vx = vx + ax * dt
+    vy = vy + ay * dt
+    return x + vx * dt, y + vy * dt, vx, vy
 
 
-def boundaries(pos: jax.Array, vel: jax.Array,
-               cfg: IntegrateConfig) -> tuple[jax.Array, jax.Array]:
+def boundaries(x, y, vx, vy, cfg: IntegrateConfig):
     """Floor + two walls, clamp position and scale the normal velocity by
     ``bounce`` (reference: src/cpu/sph2d.rs:199-220). No ceiling."""
-    x, y = pos[..., 0], pos[..., 1]
-    vx, vy = vel[..., 0], vel[..., 1]
-
     below = y < cfg.floor_y
     y = jnp.where(below, cfg.floor_y, y)
     vy = jnp.where(below, vy * cfg.bounce, vy)
@@ -40,4 +35,4 @@ def boundaries(pos: jax.Array, vel: jax.Array,
     x = jnp.where(left, cfg.x_min, x)
     vx = jnp.where(left, vx * cfg.bounce, vx)
 
-    return jnp.stack([x, y], axis=-1), jnp.stack([vx, vy], axis=-1)
+    return x, y, vx, vy

@@ -1,0 +1,136 @@
+"""On-device rasterization: particles -> RGB frames, entirely on TPU.
+
+Replaces the reference's GPU->CPU readback bridge + per-particle Bevy sprite
+sync (reference: examples/gpu_demo.rs:58-148 — a 5-state map/copy FSM spinning
+on the host every frame).  Here the simulation state never leaves the device:
+frames are rasterized on-TPU and only finished RGB images stream to host.
+
+Two view modes, as the reference's Space-toggled ``ViewMode``
+(sph2d_cpu_demo.rs:30-34):
+
+* const color — every splat cyan (CYAN, sph2d_cpu_demo.rs:18);
+* density color — per-frame min/max-normalized rho through the blue -> cyan
+  -> yellow -> red ramp (``density_color``, sph2d_cpu_demo.rs:69-82).
+
+Splatting: each particle scatter-adds a Poly6-weighted S x S pixel stamp at
+its position (the field analog of the reference's PARTICLE_SIZE=15px sprites).
+Scatter-add is deterministic (commutative) and static-shape; good to ~100k
+particles per frame.  A Pallas gather-based raster for millions of particles
+can reuse the binning stencil later.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..core.params import FluidParams
+from ..core.state import FluidState
+from ..ops.kernels import w_poly6
+
+CYAN = (0.0, 1.0, 1.0)  # reference: sph2d_cpu_demo.rs:18
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterSpec:
+    """Static raster description: world window [x0, x0+w/scale] x [y0, ...]
+    rendered to a h x w image at ``scale`` px/world-unit (the reference used
+    RENDER_SCALE=100, sph2d_cpu_demo.rs:10)."""
+
+    x0: float
+    y0: float
+    scale: float
+    height: int
+    width: int
+    stamp: int = 9  # splat stamp size in px (odd)
+
+    @staticmethod
+    def fit(x_min: float, x_max: float, y_min: float, y_max: float,
+            width: int = 512, stamp: int = 9) -> "RasterSpec":
+        scale = width / (x_max - x_min)
+        height = int(round((y_max - y_min) * scale))
+        return RasterSpec(x0=x_min, y0=y_min, scale=scale, height=height,
+                          width=width, stamp=stamp)
+
+
+def density_color(t: jax.Array) -> jax.Array:
+    """Blue -> cyan -> yellow -> red colormap over t in [0, 1]
+    (reference: sph2d_cpu_demo.rs:69-82). t: [...]; returns [..., 3]."""
+    t = jnp.clip(t, 0.0, 1.0)
+    u1 = t * 2.0
+    u2 = (t - 0.5) / 0.25
+    u3 = (t - 0.75) / 0.25
+    r = jnp.where(t < 0.5, 0.0, jnp.where(t < 0.75, u2, 1.0))
+    g = jnp.where(t < 0.5, u1, jnp.where(t < 0.75, 1.0, 1.0 - u3))
+    b = jnp.where(t < 0.5, 1.0, jnp.where(t < 0.75, 1.0 - u2, 0.0))
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def particle_colors(state: FluidState, mode: str = "density") -> jax.Array:
+    """[N, 3] colors; 'density' normalizes rho per frame like the reference's
+    sync_particles (sph2d_cpu_demo.rs:150-183), 'const' is plain cyan."""
+    n = state.n
+    if mode == "const":
+        return jnp.broadcast_to(jnp.array(CYAN, jnp.float32), (n, 3))
+    lo = jnp.min(state.rho)
+    hi = jnp.max(state.rho)
+    inv = jnp.where(hi > lo, 1.0 / (hi - lo), 0.0)
+    return density_color((state.rho - lo) * inv)
+
+
+def splat(state: FluidState, params: FluidParams, spec: RasterSpec,
+          colors: jax.Array) -> jax.Array:
+    """Rasterize to a float [H, W, 3] image (origin bottom-left).
+
+    Each particle deposits W_poly6(r^2)-weighted color over an S x S stamp;
+    the image is color-sum / weight-sum per pixel (transparent background
+    stays black)."""
+    s = spec.stamp
+    half = s // 2
+    # particle center in pixel space
+    px = (state.x - spec.x0) * spec.scale
+    py = (state.y - spec.y0) * spec.scale
+
+    # stamp pixel offsets
+    oi = jnp.arange(s, dtype=jnp.int32) - half
+    ci = jnp.floor(px).astype(jnp.int32)
+    cj = jnp.floor(py).astype(jnp.int32)
+    cols = ci[:, None] + oi[None, :]                    # [N, S]
+    rows = cj[:, None] + oi[None, :]                    # [N, S]
+
+    # Poly6 weight at each stamp pixel center (world units)
+    wx = (cols.astype(jnp.float32) + 0.5) / spec.scale + spec.x0
+    wy = (rows.astype(jnp.float32) + 0.5) / spec.scale + spec.y0
+    dx = wx - state.x[:, None]                          # [N, S]
+    dy = wy - state.y[:, None]
+    r2 = dx[:, :, None] ** 2 + dy[:, None, :] ** 2      # [N, Sx, Sy]
+    w = w_poly6(r2, params.h)                           # [N, Sx, Sy]
+
+    rows_b = jnp.broadcast_to(rows[:, None, :], r2.shape)
+    cols_b = jnp.broadcast_to(cols[:, :, None], r2.shape)
+
+    wsum = jnp.zeros((spec.height, spec.width), jnp.float32)
+    wsum = wsum.at[rows_b, cols_b].add(w, mode="drop")
+    csum = jnp.zeros((spec.height, spec.width, 3), jnp.float32)
+    csum = csum.at[rows_b, cols_b].add(
+        w[..., None] * colors[:, None, None, :], mode="drop")
+
+    img = csum / jnp.maximum(wsum, 1e-12)[..., None]
+    # fade to black where total weight is tiny (background)
+    alpha = jnp.clip(wsum / (0.25 * jnp.max(wsum) + 1e-12), 0.0, 1.0)
+    return img * alpha[..., None]
+
+
+def render(state: FluidState, params: FluidParams, spec: RasterSpec,
+           mode: str = "density") -> jax.Array:
+    """Full frame: colors + splat -> float image [H, W, 3] in [0, 1]."""
+    return splat(state, params, spec, particle_colors(state, mode))
+
+
+def to_rgb8(img: jax.Array) -> jax.Array:
+    """[H, W, 3] float -> uint8, flipped so row 0 is the TOP of the frame
+    (world y up)."""
+    img8 = jnp.clip(img * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+    return img8[::-1]

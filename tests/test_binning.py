@@ -7,21 +7,23 @@ import numpy as np
 
 from bevy_gpu_fluid_tpu import init_grid
 from bevy_gpu_fluid_tpu.core.params import GridSpec2D
-from bevy_gpu_fluid_tpu.ops.binning import (bin_particles, cell_ids,
+from bevy_gpu_fluid_tpu.ops.binning import (FAR, bin_particles, cell_ids,
                                             sort_field, to_dense, from_dense)
 
 GRID = GridSpec2D.from_bounds(h=0.045, x_min=-1.0, x_max=3.0, y_min=-1.0,
                               y_max=3.0, cap=8)
 
 
-def _random_pos(n, seed=0):
-    k = jax.random.PRNGKey(seed)
-    return jax.random.uniform(k, (n, 2), minval=-0.5, maxval=2.5)
+def _random_xy(n, seed=0):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    x = jax.random.uniform(k1, (n,), minval=-0.5, maxval=2.5)
+    y = jax.random.uniform(k2, (n,), minval=-0.5, maxval=2.5)
+    return x, y
 
 
 def test_csr_invariants():
-    pos = _random_pos(2000)
-    b = bin_particles(pos, GRID)
+    x, y = _random_xy(2000)
+    b = bin_particles(x, y, GRID)
     starts = np.asarray(b.starts)
     assert starts[0] == 0 and starts[-1] == 2000  # sentinel == N, as the
     # reference's write_sentinel pass (grid_build.wgsl:191-204)
@@ -33,9 +35,9 @@ def test_csr_invariants():
 
 
 def test_determinism_and_stability():
-    pos = _random_pos(1000, seed=3)
-    b1 = bin_particles(pos, GRID)
-    b2 = bin_particles(pos, GRID)
+    x, y = _random_xy(1000, seed=3)
+    b1 = bin_particles(x, y, GRID)
+    b2 = bin_particles(x, y, GRID)
     np.testing.assert_array_equal(np.asarray(b1.perm), np.asarray(b2.perm))
     # stable: within a cell, original index order is preserved — fixes the
     # reference's nondeterministic atomic scatter (grid_build.wgsl:234-236)
@@ -47,23 +49,29 @@ def test_determinism_and_stability():
 
 
 def test_dense_roundtrip():
-    pos = _random_pos(1500, seed=5)
-    b = bin_particles(pos, GRID)
-    x = pos[:, 0]
-    dense = to_dense(b, sort_field(b, x), fill=jnp.nan)
+    x, y = _random_xy(1500, seed=5)
+    b = bin_particles(x, y, GRID)
+    dense = to_dense(b, sort_field(b, x), fill=FAR)
+    assert dense.shape == (GRID.ny_pad, GRID.cap, GRID.nx_pad)
+    assert GRID.nx_pad % 128 == 0
     back = from_dense(b, dense)
     np.testing.assert_allclose(np.asarray(back), np.asarray(x), rtol=0, atol=0)
-    # empty slots carry the fill value, occupied the real ones
-    mask = np.asarray(b.slot_mask).reshape(dense.shape)
-    assert np.isnan(np.asarray(dense)[~mask]).all()
-    assert np.isfinite(np.asarray(dense)[mask]).all()
+    d = np.asarray(dense)
+    # ghost border rows/cols are all FAR
+    assert (d[0] == FAR).all() and (d[-1] == FAR).all()
+    assert (d[:, :, 0] == FAR).all()
+    assert (d[:, :, GRID.nx + 1:] == FAR).all()
+    # occupied slot count equals N
+    assert int((d != FAR).sum()) == 1500
 
 
 def test_cell_ids_match_floor_convention():
     # cell = floor((pos - origin)/h), the reference's convention
     # (src/cpu/sph2d.rs:14-17 with origin recovery sph_density.wgsl:95-106)
     pts = [(-1.0, -1.0), (-0.9999, -0.9999), (0.0, 0.0), (1.234, 0.567)]
-    cid = np.asarray(cell_ids(jnp.array(pts), GRID))
+    xs = jnp.array([p[0] for p in pts])
+    ys = jnp.array([p[1] for p in pts])
+    cid = np.asarray(cell_ids(xs, ys, GRID))
     for got, (x, y) in zip(cid, pts):
         ix = int(np.floor((np.float32(x) - np.float32(GRID.origin_x))
                           / np.float32(GRID.cell_size)))
@@ -75,6 +83,15 @@ def test_cell_ids_match_floor_convention():
 def test_lattice_occupancy():
     # 0.04 spacing lattice in 0.045 cells: max 2 per cell row -> <= 4 per cell
     state = init_grid(32, 32, 0.04)
-    b = bin_particles(state.pos, GRID)
+    b = bin_particles(state.x, state.y, GRID)
     assert int(b.overflow) == 0
     assert int(b.counts.max()) <= 4
+
+
+def test_overflow_diagnostic():
+    # 16 coincident particles with cap=8 -> 8 overflow, nothing lost silently
+    x = jnp.full((16,), 0.5)
+    y = jnp.full((16,), 0.5)
+    b = bin_particles(x, y, GRID)
+    assert int(b.overflow) == 8
+    assert int(b.counts.max()) == 16

@@ -12,16 +12,22 @@ import jax.numpy as jnp
 import pytest
 
 from bevy_gpu_fluid_tpu import FluidParams, IntegrateConfig, demo_block_5k, init_grid
-from bevy_gpu_fluid_tpu.models import grid_solver, reference as golden
+from bevy_gpu_fluid_tpu.models import grid_solver, pallas_solver
+from bevy_gpu_fluid_tpu.models import reference as golden
 
 CFG = IntegrateConfig.create()  # dt=0.0005, x in [-5, 3], bounce=-3
 GRID = grid_solver.default_grid(0.045, -5.0, 3.0, y_max=4.0, cap=8)
 
+SOLVERS = {
+    "xla": lambda s, p, n: grid_solver.multi_step(s, p, CFG, GRID, n),
+    "pallas": lambda s, p, n: pallas_solver.multi_step(s, p, CFG, GRID, n),
+}
 
-def _run_both(state, params, n_steps):
+
+def _run_both(state, params, n_steps, solver="xla"):
     g = jax.jit(lambda s: golden.multi_step(s, params, CFG, n_steps))(state)
     a, diag = jax.jit(
-        lambda s: grid_solver.multi_step(s, params, CFG, GRID, n_steps))(state)
+        lambda s: SOLVERS[solver](s, params, n_steps))(state)
     assert int(diag.overflow) == 0, "cell cap overflow during parity run"
     return g, a
 
@@ -33,14 +39,15 @@ def _sym_rel(a, b, eps=1e-6):
     return jnp.abs(a - b) / denom
 
 
+@pytest.fixture(scope="module", params=["xla", "pallas"])
+def run10(request):
+    state, params = demo_block_5k()
+    return _run_both(state, params, 10, solver=request.param)
+
+
 class TestParity10:
     """Density/pressure parity after 10 steps on the 5,041-particle scene
-    (reference: examples/gpu_parity10.rs)."""
-
-    @pytest.fixture(scope="class")
-    def run10(self):
-        state, params = demo_block_5k()
-        return _run_both(state, params, 10)
+    (reference: examples/gpu_parity10.rs), for both accelerated solvers."""
 
     def test_density_max_rel(self, run10):
         g, a = run10
@@ -55,8 +62,10 @@ class TestParity10:
 
     def test_integration_drift_10(self, run10):
         g, a = run10
-        dx = float(jnp.max(jnp.abs(a.pos - g.pos)))
-        dv = float(jnp.max(jnp.abs(a.vel - g.vel)))
+        dx = float(jnp.maximum(jnp.max(jnp.abs(a.x - g.x)),
+                               jnp.max(jnp.abs(a.y - g.y))))
+        dv = float(jnp.maximum(jnp.max(jnp.abs(a.vx - g.vx)),
+                               jnp.max(jnp.abs(a.vy - g.vy))))
         assert dx <= 0.000518, f"|dx| {dx:.2e} worse than reference's 5.18e-4"
         assert dv <= 0.245602, f"|dv| {dv:.2e} worse than reference's 0.2456"
 
@@ -67,18 +76,25 @@ def test_integration_drift_100():
     state = init_grid(32, 32, 0.04)
     params = FluidParams.demo()
     g, a = _run_both(state, params, 100)
-    dx = float(jnp.max(jnp.abs(a.pos - g.pos)))
-    dv = float(jnp.max(jnp.abs(a.vel - g.vel)))
-    assert bool(jnp.all(jnp.isfinite(a.pos)))
+    dx = float(jnp.maximum(jnp.max(jnp.abs(a.x - g.x)),
+                           jnp.max(jnp.abs(a.y - g.y))))
+    dv = float(jnp.maximum(jnp.max(jnp.abs(a.vx - g.vx)),
+                           jnp.max(jnp.abs(a.vy - g.vy))))
+    assert bool(jnp.all(jnp.isfinite(a.x)) and jnp.all(jnp.isfinite(a.y)))
     assert dx <= 0.005448, f"|dx| {dx:.2e} worse than reference's 5.448e-3"
     assert dv <= 2.734728, f"|dv| {dv:.2e} worse than reference's 2.7347"
 
 
-def test_single_step_fields_match():
+@pytest.mark.parametrize("solver_step", [
+    lambda s, p: grid_solver.step(s, p, CFG, GRID),
+    lambda s, p: pallas_solver.step(s, p, CFG, GRID),
+], ids=["xla", "pallas"])
+def test_single_step_fields_match(solver_step):
     # one step: rho, p, acc agree elementwise to tight f32 tolerance
     state, params = demo_block_5k()
     g = golden.step(state, params, CFG)
-    a = grid_solver.step(state, params, CFG, GRID)
+    a = solver_step(state, params)
     assert float(jnp.max(_sym_rel(a.rho, g.rho))) < 1e-5
     assert float(jnp.max(jnp.abs(a.p - g.p))) < 0.05
-    assert float(jnp.max(jnp.abs(a.acc - g.acc))) < 0.05
+    assert float(jnp.max(jnp.abs(a.ax - g.ax))) < 0.05
+    assert float(jnp.max(jnp.abs(a.ay - g.ay))) < 0.05

@@ -36,7 +36,7 @@ def test_grid_contains_all_particles():
     state = init_grid(4, 3, spacing)
     grid = GridSpec2D.from_bounds(h=0.045, x_min=-1.0, x_max=1.0,
                                   y_min=-1.0, y_max=1.0, cap=8)
-    binned = bin_particles(state.pos, grid)
+    binned = bin_particles(state.x, state.y, grid)
     assert int(jnp.sum(binned.counts)) == state.n
     assert int(binned.overflow) == 0
 
@@ -60,4 +60,4 @@ def test_integral_no_nan():
     cfg = IntegrateConfig.create(dt=0.001, x_min=-3.0, x_max=3.0, bounce=3.0)
     state = init_grid(10, 10, spacing)
     state = golden.multi_step(state, params, cfg, 50)
-    assert bool(jnp.all(jnp.isfinite(state.pos)))
+    assert bool(jnp.all(jnp.isfinite(state.x)) and jnp.all(jnp.isfinite(state.y)))
