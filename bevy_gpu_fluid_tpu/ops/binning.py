@@ -81,43 +81,59 @@ class Binned:
     grid: GridSpec2D
 
 
-def cell_coords(x: jax.Array, y: jax.Array,
-                grid: GridSpec2D) -> tuple[jax.Array, jax.Array]:
-    """Clamped integer cell coordinates for component position arrays [N]."""
+def cell_coords(x: jax.Array, y: jax.Array, grid: GridSpec2D,
+                origin=None) -> tuple[jax.Array, jax.Array]:
+    """Clamped integer cell coordinates for component position arrays [N].
+
+    ``origin`` optionally overrides the grid's static origin with traced
+    values — used by the sharded solver, where each device's slab origin is a
+    function of its mesh coordinate."""
+    ox, oy = origin if origin is not None else (grid.origin_x, grid.origin_y)
     inv = 1.0 / grid.cell_size
-    cx = jnp.floor((x - grid.origin_x) * inv).astype(jnp.int32)
-    cy = jnp.floor((y - grid.origin_y) * inv).astype(jnp.int32)
+    cx = jnp.floor((x - ox) * inv).astype(jnp.int32)
+    cy = jnp.floor((y - oy) * inv).astype(jnp.int32)
     return jnp.clip(cx, 0, grid.nx - 1), jnp.clip(cy, 0, grid.ny - 1)
 
 
-def cell_ids(x: jax.Array, y: jax.Array, grid: GridSpec2D) -> jax.Array:
+def cell_ids(x: jax.Array, y: jax.Array, grid: GridSpec2D,
+             origin=None) -> jax.Array:
     """Linear cell id = cx + cy * nx (reference: sph_density.wgsl:108-110)."""
-    cx, cy = cell_coords(x, y, grid)
+    cx, cy = cell_coords(x, y, grid, origin)
     return cx + cy * grid.nx
 
 
-def bin_particles(x: jax.Array, y: jax.Array, grid: GridSpec2D) -> Binned:
+def bin_particles(x: jax.Array, y: jax.Array, grid: GridSpec2D,
+                  alive: jax.Array | None = None, origin=None) -> Binned:
+    """Bin N particles.  ``alive=False`` slots (fixed-capacity sharded
+    buffers) go to a void cell id == num_cells: they sort to the end, never
+    enter real cells, and their dense writes land in ghost rows (callers keep
+    dead position fields at FAR, so those writes are indistinguishable from
+    the FAR fill)."""
     n = x.shape[0]
-    cid = cell_ids(x, y, grid)
+    cid = cell_ids(x, y, grid, origin)
+    if alive is not None:
+        cid = jnp.where(alive, cid, grid.num_cells)
     perm = jnp.argsort(cid, stable=True)          # deterministic within-cell
     sorted_cell = cid[perm]
     inv_perm = jnp.zeros((n,), jnp.int32).at[perm].set(
         jnp.arange(n, dtype=jnp.int32))
 
-    # histogram + prefix-sum (the reference's 6 grid passes in two XLA ops)
-    counts = jnp.zeros((grid.num_cells,), jnp.int32).at[cid].add(1)
-    starts = jnp.concatenate(
+    # histogram + prefix-sum (the reference's 6 grid passes in two XLA ops);
+    # one extra histogram bin holds the dead slots
+    counts_full = jnp.zeros((grid.num_cells + 1,), jnp.int32).at[cid].add(1)
+    starts_full = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32),
-         jnp.cumsum(counts, dtype=jnp.int32)])
-    sorted_rank = jnp.arange(n, dtype=jnp.int32) - starts[sorted_cell]
+         jnp.cumsum(counts_full, dtype=jnp.int32)])
+    sorted_rank = jnp.arange(n, dtype=jnp.int32) - starts_full[sorted_cell]
     sorted_cx = sorted_cell % grid.nx
     sorted_cy = sorted_cell // grid.nx
 
+    counts = counts_full[:grid.num_cells]
     overflow = jnp.sum((counts - grid.cap).clip(min=0)).astype(jnp.int32)
     return Binned(perm=perm, inv_perm=inv_perm, sorted_cell=sorted_cell,
                   sorted_rank=sorted_rank, sorted_cx=sorted_cx,
-                  sorted_cy=sorted_cy, starts=starts, counts=counts,
-                  overflow=overflow, grid=grid)
+                  sorted_cy=sorted_cy, starts=starts_full[:grid.num_cells + 1],
+                  counts=counts, overflow=overflow, grid=grid)
 
 
 def sort_field(binned: Binned, field: jax.Array) -> jax.Array:

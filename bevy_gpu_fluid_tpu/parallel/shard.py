@@ -1,0 +1,312 @@
+"""Multi-chip scaling: spatial domain decomposition over a device mesh.
+
+The reference is a single-GPU engine; its only parallelism is SIMT over
+particles (SURVEY.md section 2.2).  This module adds the TPU-native scaling
+story the north star demands (BASELINE.json config #5: 4M particles on
+v5e-8): the domain is split into vertical slabs along x, one per device in a
+1D ``jax.sharding.Mesh``, and each step runs under ``shard_map`` with three
+ICI exchanges, all ``lax.ppermute`` with nearest-neighbour perms:
+
+1. ghost-column halo of particle positions before the density stencil,
+2. ghost-column halo of velocity + density before the force stencil,
+3. migration of particles whose integrated position left the slab.
+
+The single-chip Pallas/XLA kernels run unmodified on each local slab — the
+halo exchange just fills the dense layout's ghost columns (ops/binning.py)
+with the neighbour's real edge columns instead of FAR, which is exactly the
+2h-wide block exchange of ring attention applied to space instead of
+sequence.
+
+Particle storage is a fixed-capacity SoA per device ([n_devices, capacity]
+arrays sharded on axis 0) with an ``alive`` mask; dead slots carry FAR
+positions.  Migration moves at most ``mig_cap`` particles per direction per
+step (dam-break speeds cross far less than one cell per step at dt=5e-4);
+both capacity and migration overflow are counted in the step diagnostics
+rather than silently dropped.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.params import FluidParams, IntegrateConfig, GridSpec2D, GRAVITY_Y
+from ..core.state import FluidState
+from ..ops import integrator
+from ..ops.binning import FAR, bin_particles, sort_field, to_dense, from_dense
+from ..ops.kernels import eos_pressure
+from ..models import grid_solver
+
+AXIS = "x"
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=("x", "y", "vx", "vy", "rho", "p", "alive", "step"),
+         meta_fields=())
+@dataclasses.dataclass
+class ShardedState:
+    """Per-device fixed-capacity SoA: float32[n_devices, capacity] fields,
+    bool alive, int32 step."""
+
+    x: jax.Array
+    y: jax.Array
+    vx: jax.Array
+    vy: jax.Array
+    rho: jax.Array
+    p: jax.Array
+    alive: jax.Array
+    step: jax.Array
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=("overflow", "dropped", "alive_count"), meta_fields=())
+@dataclasses.dataclass
+class ShardDiag:
+    overflow: jax.Array     # [D] cell-cap overflow per device
+    dropped: jax.Array      # [D] particles lost to capacity/migration limits
+    alive_count: jax.Array  # [D]
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardSpec:
+    """Static decomposition: the global grid split into n_devices slabs of
+    nx_local columns; per-device particle capacity and migration buffer."""
+
+    n_devices: int
+    nx_local: int
+    local_grid: GridSpec2D   # nx == nx_local, origin at slab 0
+    global_x0: float         # world x of global grid origin
+    capacity: int
+    mig_cap: int
+
+    @property
+    def slab_width(self) -> float:
+        return self.nx_local * self.local_grid.cell_size
+
+    @staticmethod
+    def build(h: float, x_min: float, x_max: float, y_max: float,
+              n_devices: int, capacity: int, cap: int = 8,
+              mig_cap: int | None = None) -> "ShardSpec":
+        g = GridSpec2D.from_bounds(h=h, x_min=x_min, x_max=x_max, y_min=0.0,
+                                   y_max=y_max, cap=cap)
+        nx_local = -(-g.nx // n_devices)
+        local = dataclasses.replace(g, nx=nx_local)
+        return ShardSpec(n_devices=n_devices, nx_local=nx_local,
+                         local_grid=local, global_x0=g.origin_x,
+                         capacity=capacity,
+                         mig_cap=mig_cap if mig_cap is not None
+                         else max(256, capacity // 8))
+
+
+def shard_state(state: FluidState, spec: ShardSpec) -> ShardedState:
+    """Partition a FluidState by x-slab into [D, capacity] device buffers.
+    Raises if any slab exceeds capacity."""
+    import numpy as np
+    D, M = spec.n_devices, spec.capacity
+    x = np.asarray(state.x)
+    slab = np.clip(((x - spec.global_x0) // spec.slab_width).astype(int),
+                   0, D - 1)
+    out = {k: np.full((D, M), FAR if k in ("x", "y") else 0.0,
+                      dtype=np.float32)
+           for k in ("x", "y", "vx", "vy", "rho", "p")}
+    alive = np.zeros((D, M), bool)
+    for d in range(D):
+        idx = np.nonzero(slab == d)[0]
+        if len(idx) > M:
+            raise ValueError(f"slab {d} holds {len(idx)} > capacity {M}")
+        for k in out:
+            out[k][d, :len(idx)] = np.asarray(getattr(state, k))[idx]
+        alive[d, :len(idx)] = True
+    return ShardedState(step=jnp.asarray(state.step), alive=jnp.asarray(alive),
+                        **{k: jnp.asarray(v) for k, v in out.items()})
+
+
+def unshard_state(sharded: ShardedState) -> FluidState:
+    """Flatten live particles back to a FluidState (device order, for
+    rendering/analysis; per-particle identity is not tracked across steps)."""
+    import numpy as np
+    alive = np.asarray(sharded.alive).reshape(-1)
+    pick = lambda a: jnp.asarray(np.asarray(a).reshape(-1)[alive])
+    n = int(alive.sum())
+    return FluidState(x=pick(sharded.x), y=pick(sharded.y),
+                      vx=pick(sharded.vx), vy=pick(sharded.vy),
+                      ax=jnp.zeros((n,), jnp.float32),
+                      ay=jnp.zeros((n,), jnp.float32),
+                      rho=pick(sharded.rho), p=pick(sharded.p),
+                      step=sharded.step)
+
+
+def _fwd_perm(D):
+    return [(i, i + 1) for i in range(D - 1)]
+
+
+def _bwd_perm(D):
+    return [(i + 1, i) for i in range(D - 1)]
+
+
+def _fill_ghost_cols(fd: jax.Array, nxl: int, D: int,
+                     edge_fill: float) -> jax.Array:
+    """Receive both neighbours' real edge columns into my ghost columns
+    (cols 0 and nxl+1).  Devices with no neighbour on a side get
+    ``edge_fill`` (FAR for positions: outermost walls have no fluid beyond)."""
+    if D == 1:
+        return fd
+    my_right = jax.lax.slice_in_dim(fd, nxl, nxl + 1, axis=2)
+    my_left = jax.lax.slice_in_dim(fd, 1, 2, axis=2)
+    from_left = jax.lax.ppermute(my_right, AXIS, _fwd_perm(D))
+    from_right = jax.lax.ppermute(my_left, AXIS, _bwd_perm(D))
+    d = jax.lax.axis_index(AXIS)
+    from_left = jnp.where(d == 0, edge_fill, from_left)
+    from_right = jnp.where(d == D - 1, edge_fill, from_right)
+    fd = jax.lax.dynamic_update_slice_in_dim(fd, from_left, 0, axis=2)
+    fd = jax.lax.dynamic_update_slice_in_dim(fd, from_right, nxl + 1, axis=2)
+    return fd
+
+
+def _pack_migrants(fields, mask, E):
+    """Select up to E masked entries into fixed [E] buffers; returns packed
+    fields + validity + count of entries beyond E (dropped)."""
+    order = jnp.argsort(~mask)          # stable: masked slots first
+    idx = order[:E]
+    ok = mask[idx]
+    packed = [jnp.where(ok, f[idx], fill) for f, fill in fields]
+    dropped = jnp.sum(mask) - jnp.sum(ok)
+    return packed, ok, dropped
+
+
+def make_sharded_step(params: FluidParams, cfg: IntegrateConfig,
+                      spec: ShardSpec, mesh: Mesh, stencils=None):
+    """Build the jitted multi-chip step: returns fn(ShardedState) ->
+    (ShardedState, ShardDiag)."""
+    g = spec.local_grid
+    D, M, E = spec.n_devices, spec.capacity, spec.mig_cap
+    nxl = spec.nx_local
+    if stencils is None:
+        stencils = grid_solver.XLA_STENCILS
+    density_fn, forces_fn = stencils
+
+    def local_step(x, y, vx, vy, rho_o, p_o, alive, step):
+        x, y, vx, vy, alive = (a.reshape(a.shape[1:])
+                               for a in (x, y, vx, vy, alive))
+        d = jax.lax.axis_index(AXIS)
+        ox = spec.global_x0 + d.astype(jnp.float32) * spec.slab_width
+        origin = (ox, g.origin_y)
+
+        # dead slots must scatter FAR/0 so ghost rows stay inert
+        xb = jnp.where(alive, x, FAR)
+        yb = jnp.where(alive, y, FAR)
+        vxb = jnp.where(alive, vx, 0.0)
+        vyb = jnp.where(alive, vy, 0.0)
+
+        b = bin_particles(xb, yb, g, alive=alive, origin=origin)
+        xd = to_dense(b, sort_field(b, xb), fill=FAR)
+        yd = to_dense(b, sort_field(b, yb), fill=FAR)
+
+        # halo 1: neighbour edge positions into my ghost columns
+        xd = _fill_ghost_cols(xd, nxl, D, FAR)
+        yd = _fill_ghost_cols(yd, nxl, D, FAR)
+
+        rho_d = density_fn(xd, yd, params)
+
+        vxd = to_dense(b, sort_field(b, vxb), fill=0.0)
+        vyd = to_dense(b, sort_field(b, vyb), fill=0.0)
+        # halo 2: neighbour edge velocity + density (positions already in)
+        vxd = _fill_ghost_cols(vxd, nxl, D, 0.0)
+        vyd = _fill_ghost_cols(vyd, nxl, D, 0.0)
+        rho_d = _fill_ghost_cols(rho_d, nxl, D, 0.0)
+
+        ax_d, ay_d = forces_fn(xd, yd, vxd, vyd, rho_d, params)
+
+        h2 = params.h * params.h
+        self_rho = params.m * (4.0 / (jnp.pi * h2 ** 4)) * h2 ** 3
+        rho = jnp.where(alive, from_dense(b, rho_d, fallback=self_rho), 0.0)
+        p = jnp.where(alive, eos_pressure(rho, params), 0.0)
+        ax = jnp.where(alive, from_dense(b, ax_d, fallback=0.0), 0.0)
+        ay = jnp.where(alive,
+                       from_dense(b, ay_d, fallback=0.0) + GRAVITY_Y, 0.0)
+
+        x2, y2, vx2, vy2 = integrator.euler(x, y, vx, vy, ax, ay, cfg.dt)
+        x2, y2, vx2, vy2 = integrator.boundaries(x2, y2, vx2, vy2, cfg)
+        x2 = jnp.where(alive, x2, FAR)
+        y2 = jnp.where(alive, y2, FAR)
+
+        # migration: who left my slab?
+        slab_lo = ox
+        slab_hi = ox + spec.slab_width
+        go_left = alive & (x2 < slab_lo) & (d > 0)
+        go_right = alive & (x2 >= slab_hi) & (d < D - 1)
+        stay = alive & ~go_left & ~go_right
+
+        dropped = jnp.int32(0)
+        if D > 1:
+            fields = lambda: [(x2, FAR), (y2, FAR), (vx2, 0.0), (vy2, 0.0)]
+            pl_, okl, dl = _pack_migrants(fields(), go_left, E)
+            pr_, okr, dr = _pack_migrants(fields(), go_right, E)
+            dropped = dropped + dl + dr
+
+            send_r = jnp.stack(pr_ + [okr.astype(jnp.float32)])   # [5, E]
+            send_l = jnp.stack(pl_ + [okl.astype(jnp.float32)])
+            recv_l = jax.lax.ppermute(send_r, AXIS, _fwd_perm(D))
+            recv_r = jax.lax.ppermute(send_l, AXIS, _bwd_perm(D))
+            # devices with no neighbour receive zeros -> ok flag 0 = dead
+
+            def unpack(buf):
+                ok = buf[4] > 0.5
+                return [jnp.where(ok, buf[i], FAR if i < 2 else 0.0)
+                        for i in range(4)], ok
+
+            (inl, okl_in), (inr, okr_in) = unpack(recv_l), unpack(recv_r)
+
+            all_alive = jnp.concatenate([stay, okl_in, okr_in])
+            cat = lambda f, a, bb: jnp.concatenate([f, a, bb])
+            allx = cat(jnp.where(stay, x2, FAR), inl[0], inr[0])
+            ally = cat(jnp.where(stay, y2, FAR), inl[1], inr[1])
+            allvx = cat(jnp.where(stay, vx2, 0.0), inl[2], inr[2])
+            allvy = cat(jnp.where(stay, vy2, 0.0), inl[3], inr[3])
+            allrho = cat(jnp.where(stay, rho, 0.0), okl_in * 0.0, okr_in * 0.0)
+            allp = cat(jnp.where(stay, p, 0.0), okl_in * 0.0, okr_in * 0.0)
+
+            order = jnp.argsort(~all_alive)[:M]   # stable compaction
+            new_alive = all_alive[order]
+            dropped = dropped + jnp.sum(all_alive) - jnp.sum(new_alive)
+            x2, y2 = allx[order], ally[order]
+            vx2, vy2 = allvx[order], allvy[order]
+            rho, p = allrho[order], allp[order]
+            alive = new_alive
+        else:
+            alive = stay
+
+        diag_overflow = b.overflow.reshape(1)
+        diag_dropped = dropped.astype(jnp.int32).reshape(1)
+        diag_alive = jnp.sum(alive).astype(jnp.int32).reshape(1)
+        r1 = lambda a: a.reshape((1,) + a.shape)
+        return (r1(x2), r1(y2), r1(vx2), r1(vy2), r1(rho), r1(p), r1(alive),
+                diag_overflow, diag_dropped, diag_alive)
+
+    sharded = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                  P(AXIS), P()),
+        out_specs=(P(AXIS),) * 7 + (P(AXIS), P(AXIS), P(AXIS)),
+        check_vma=False)
+
+    @jax.jit
+    def step(s: ShardedState):
+        (x, y, vx, vy, rho, p, alive, ovf, drp, cnt) = sharded(
+            s.x, s.y, s.vx, s.vy, s.rho, s.p, s.alive, s.step)
+        return (ShardedState(x=x, y=y, vx=vx, vy=vy, rho=rho, p=p,
+                             alive=alive, step=s.step + 1),
+                ShardDiag(overflow=ovf, dropped=drp, alive_count=cnt))
+
+    return step
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(devs[:n], (AXIS,))
