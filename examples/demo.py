@@ -52,6 +52,9 @@ def main() -> None:
                     default="pallas")
     ap.add_argument("--kick-frame", type=int, default=30,
                     help="frame at which a scripted impulse is injected")
+    ap.add_argument("--sink", choices=["native", "python"], default="native",
+                    help="native = async C++ FrameSink (encode/IO off the "
+                         "sim loop); python = synchronous writes")
     args = ap.parse_args()
 
     if args.cpu:
@@ -89,20 +92,32 @@ def main() -> None:
         return s, img
 
     os.makedirs(args.out, exist_ok=True)
+    sink = None
+    if args.sink == "native":
+        from bevy_gpu_fluid_tpu.native import FrameSink
+        sink = FrameSink(args.out, width=spec.width, height=spec.height)
+
     t0 = time.time()
+    dropped = 0
     for i in range(args.frames):
         if i == args.kick_frame:
             # scripted drag: push fluid up-right near the block's center
             state = apply_impulse(state, 1.0, 0.3, 0.6, 0.45)
         state, img = frame(state)
-        write_ppm(os.path.join(args.out, f"frame_{i:04d}.ppm"),
-                  np.asarray(img))
+        if sink is not None:
+            dropped += 0 if sink.push(np.asarray(img)) else 1
+        else:
+            write_ppm(os.path.join(args.out, f"frame_{i:06d}.ppm"),
+                      np.asarray(img))
     jax.block_until_ready(state.x)
     dt = time.time() - t0
+    if sink is not None:
+        sink.close()
     n = state.n
     print(f"{args.frames} frames x {args.substeps} steps of {n} particles "
           f"in {dt:.2f}s ({args.frames / dt:.1f} fps incl. first-frame "
-          f"compile; backend={jax.default_backend()}, solver={args.solver})")
+          f"compile; backend={jax.default_backend()}, solver={args.solver}, "
+          f"sink={args.sink}, dropped={dropped})")
     print(f"frames written to {args.out}/frame_*.ppm")
 
 
