@@ -73,6 +73,44 @@ def bench_case(n_particles: int, n_steps: int, cap: int = 8,
             "ms_per_step": dt / n_steps * 1e3, "overflow": int(diag.overflow)}
 
 
+def bench_fps(plan=(10_000, 5_041, 1_024), seconds: float = 3.0) -> None:
+    """The reference's FPS table (examples/bench_gpu.rs:36): sim + on-device
+    raster per frame, ~3 s per case, average frame rate to stderr.  Unlike
+    the reference harness, every frame here really integrates the scene."""
+    from bevy_gpu_fluid_tpu import Simulation
+    for n in plan:
+        sim = Simulation.dam_break(n)
+        img = sim.frame()          # compile frame path
+        sim.run(1)                 # compile step path
+        jax.block_until_ready(img)
+        frames = 0
+        t0 = time.time()
+        while time.time() - t0 < seconds:
+            sim.run(1)
+            jax.block_until_ready(sim.frame())
+            frames += 1
+        fps = frames / (time.time() - t0)
+        print(f"# fps: {sim.state.n} particles -> {fps:.1f} avg FPS "
+              f"(reference GPU bridge: 188.0 @10k / 191.3 @5k / 202.8 @1k)",
+              file=sys.stderr)
+
+
+def bench_golden_step(side: int = 70) -> None:
+    """The reference's criterion bench (benches/step_benches.rs: step_4.9k,
+    70x70 CPU step at 1.87 ms/step): golden-model step latency."""
+    state = bgf.init_grid(side, side, 0.04)
+    params = bgf.FluidParams.demo()
+    cfg = bgf.IntegrateConfig.create()
+    from bevy_gpu_fluid_tpu.models import reference as golden
+    stepf = jax.jit(lambda s: golden.multi_step(s, params, cfg, 10))
+    jax.block_until_ready(stepf(state))
+    t0 = time.time()
+    s = jax.block_until_ready(stepf(state))
+    dt = (time.time() - t0) / 10
+    print(f"# golden step: {state.n} particles {dt * 1e3:.3f} ms/step "
+          f"(reference CPU: 1.87 ms/step at 4.9k)", file=sys.stderr)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1_000_000)
@@ -80,8 +118,16 @@ def main() -> None:
     ap.add_argument("--cap", type=int, default=8)
     ap.add_argument("--sweep", action="store_true",
                     help="also run 10k/100k cases (reported to stderr)")
+    ap.add_argument("--fps", action="store_true",
+                    help="also run the reference's 3-case FPS table")
+    ap.add_argument("--golden", action="store_true",
+                    help="also run the golden-model step-latency bench")
     args = ap.parse_args()
 
+    if args.golden:
+        bench_golden_step()
+    if args.fps:
+        bench_fps()
     if args.sweep:
         for n in (10_000, 100_000):
             bench_case(n, args.steps, cap=args.cap, verbose=True)

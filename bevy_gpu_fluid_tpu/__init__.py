@@ -8,12 +8,14 @@ decomposition.
 """
 
 from .core.params import FluidParams, IntegrateConfig, GridSpec2D, GRAVITY_Y
+from .core.simulation import Simulation
 from .core.state import (FluidState, from_positions, init_grid, demo_block_5k,
                          make_state)
 
 __all__ = [
     "FluidParams", "IntegrateConfig", "GridSpec2D", "GRAVITY_Y",
-    "FluidState", "from_positions", "init_grid", "demo_block_5k", "make_state",
+    "FluidState", "Simulation", "from_positions", "init_grid",
+    "demo_block_5k", "make_state",
 ]
 
 __version__ = "0.1.0"

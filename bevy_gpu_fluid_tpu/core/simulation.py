@@ -1,0 +1,110 @@
+"""Simulation facade — the composition root.
+
+The one-stop equivalent of the reference's ``GPUSPHPlugin`` (reference:
+src/gpu/buffers.rs:731-870), which wired 7 startup systems, 3 update systems,
+6 extract systems, ~20 prepare systems and 10 render-graph nodes.  Under
+XLA there is nothing to wire — jit tracing builds the whole step DAG — so the
+facade just bundles params + config + grid + solver choice behind a small
+stateful API and keeps the step counter (the reference's ``SimStep``).
+
+    sim = Simulation.dam_break()            # demo_block_5k scene
+    sim.run(100)                            # 100 steps on-device
+    sim.kick(1.0, 0.3, dir_x=0.6, dir_y=0.45)   # mouse-drag impulse
+    frame = sim.frame()                     # on-device raster -> uint8 RGB
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Literal
+
+import jax
+
+from .params import FluidParams, IntegrateConfig, GridSpec2D
+from .state import FluidState, init_grid
+
+
+class Simulation:
+    """Stateful convenience wrapper over the pure solver functions."""
+
+    def __init__(self, state: FluidState, params: FluidParams,
+                 cfg: IntegrateConfig, grid: GridSpec2D,
+                 solver: Literal["pallas", "xla", "golden"] = "pallas",
+                 raster_width: int = 512, y_view_max: float | None = None):
+        from ..models import grid_solver, pallas_solver
+        from ..models import reference as golden
+        from ..render import raster
+
+        self.state = state
+        self.params = params
+        self.cfg = cfg
+        self.grid = grid
+        self.solver = solver
+        self.overflow = 0
+        self._raster = raster
+        self.spec = raster.RasterSpec.fit(
+            float(cfg.x_min), float(cfg.x_max), float(cfg.floor_y),
+            y_view_max if y_view_max is not None
+            else float(cfg.floor_y) + grid.ny * grid.cell_size,
+            width=raster_width)
+
+        if solver == "golden":
+            self._run = jax.jit(
+                lambda s, n: (golden.multi_step(s, params, cfg, n), None),
+                static_argnums=1)
+        elif solver == "xla":
+            self._run = jax.jit(
+                lambda s, n: grid_solver.multi_step(s, params, cfg, grid, n),
+                static_argnums=1)
+        else:
+            self._run = jax.jit(
+                lambda s, n: pallas_solver.multi_step(s, params, cfg, grid, n),
+                static_argnums=1)
+        self._frame = jax.jit(
+            lambda s, mode: raster.to_rgb8(
+                raster.render(s, params, self.spec, mode)),
+            static_argnums=1)
+
+    # ---- scene builders -------------------------------------------------
+    @staticmethod
+    def dam_break(n: int = 5041, solver: str = "pallas",
+                  cap: int = 8, **kw) -> "Simulation":
+        """The reference demo scene: sqrt(n)-square block in the [-5, 3]
+        bounce box (reference: SPHState::demo_block_5k + IntegrateConfig
+        defaults)."""
+        from ..models import grid_solver
+        side = int(math.isqrt(n))
+        state = init_grid(side, side, 0.04)
+        params = FluidParams.demo()
+        cfg = IntegrateConfig.create()
+        grid = grid_solver.default_grid(0.045, -5.0, 3.0, y_max=4.0, cap=cap)
+        return Simulation(state, params, cfg, grid, solver=solver, **kw)
+
+    # ---- stepping / interaction / rendering -----------------------------
+    def run(self, n_steps: int) -> FluidState:
+        """Advance n_steps on-device (one compiled scan)."""
+        self.state, diag = self._run(self.state, n_steps)
+        if diag is not None:
+            self.overflow = max(self.overflow, int(diag.overflow))
+        return self.state
+
+    def kick(self, x: float, y: float, dir_x: float, dir_y: float,
+             impulse: float | None = None) -> None:
+        """Inject a drag impulse (reference: apply_drag,
+        examples/sph2d_cpu_demo.rs:112-141)."""
+        from ..interact import impulse as imp
+        kw = {} if impulse is None else {"impulse": impulse}
+        self.state = imp.apply_impulse(self.state, x, y, dir_x, dir_y, **kw)
+
+    def frame(self, mode: str = "density"):
+        """Rasterize the current state on-device; returns uint8 [H, W, 3]."""
+        return self._frame(self.state, mode)
+
+    def save(self, path: str) -> None:
+        from ..utils import checkpoint
+        checkpoint.save(path, self.state, self.params, self.cfg)
+
+    def load(self, path: str) -> None:
+        from ..utils import checkpoint
+        state, params, cfg = checkpoint.load(path)
+        self.state = state

@@ -130,7 +130,7 @@ def compute_rho_p_acc(state: FluidState, params: FluidParams,
     """Density, EOS pressure, and accelerations (no integration) — the
     analog of the reference's density+pressure+forces passes."""
     density_fn, forces_fn = stencils
-    binned = bin_particles(state.x, state.y, grid)
+    binned = bin_particles(state.x, state.y, grid, with_csr=False)
     xd = to_dense(binned, sort_field(binned, state.x), fill=FAR)
     yd = to_dense(binned, sort_field(binned, state.y), fill=FAR)
 

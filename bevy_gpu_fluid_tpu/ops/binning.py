@@ -103,12 +103,20 @@ def cell_ids(x: jax.Array, y: jax.Array, grid: GridSpec2D,
 
 
 def bin_particles(x: jax.Array, y: jax.Array, grid: GridSpec2D,
-                  alive: jax.Array | None = None, origin=None) -> Binned:
-    """Bin N particles.  ``alive=False`` slots (fixed-capacity sharded
-    buffers) go to a void cell id == num_cells: they sort to the end, never
-    enter real cells, and their dense writes land in ghost rows (callers keep
-    dead position fields at FAR, so those writes are indistinguishable from
-    the FAR fill)."""
+                  alive: jax.Array | None = None, origin=None,
+                  with_csr: bool = True) -> Binned:
+    """Bin N particles.
+
+    ``alive=False`` slots (fixed-capacity sharded buffers) go to a void cell
+    id == num_cells: they sort to the end, never enter real cells, and their
+    dense writes land in ghost rows (callers keep dead position fields at
+    FAR, so those writes are indistinguishable from the FAR fill).
+
+    Within-cell ranks come straight from the sorted array (segment-relative
+    cummax over N), so the hot path touches nothing sized by the cell count.
+    ``with_csr=False`` skips the per-cell histogram + prefix sum (arrays of
+    num_cells, ~8x N at 1M particles) — solvers don't need them; diagnostics
+    and the CSR-consuming APIs do."""
     n = x.shape[0]
     cid = cell_ids(x, y, grid, origin)
     if alive is not None:
@@ -118,21 +126,29 @@ def bin_particles(x: jax.Array, y: jax.Array, grid: GridSpec2D,
     inv_perm = jnp.zeros((n,), jnp.int32).at[perm].set(
         jnp.arange(n, dtype=jnp.int32))
 
-    # histogram + prefix-sum (the reference's 6 grid passes in two XLA ops);
-    # one extra histogram bin holds the dead slots
-    counts_full = jnp.zeros((grid.num_cells + 1,), jnp.int32).at[cid].add(1)
-    starts_full = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32),
-         jnp.cumsum(counts_full, dtype=jnp.int32)])
-    sorted_rank = jnp.arange(n, dtype=jnp.int32) - starts_full[sorted_cell]
+    # rank within cell: position minus the running start of its segment
+    pos = jnp.arange(n, dtype=jnp.int32)
+    is_new = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_cell[1:] != sorted_cell[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(is_new, pos, -1))
+    sorted_rank = pos - seg_start
     sorted_cx = sorted_cell % grid.nx
     sorted_cy = sorted_cell // grid.nx
+    overflow = jnp.sum((sorted_rank >= grid.cap)
+                       & (sorted_cell < grid.num_cells)).astype(jnp.int32)
 
-    counts = counts_full[:grid.num_cells]
-    overflow = jnp.sum((counts - grid.cap).clip(min=0)).astype(jnp.int32)
+    if with_csr:
+        # the reference's histogram + 5-pass prefix scan, as two XLA ops
+        counts = jnp.zeros((grid.num_cells,), jnp.int32).at[cid].add(
+            1, mode="drop")
+        starts = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(counts, dtype=jnp.int32)])
+    else:
+        counts = starts = None
     return Binned(perm=perm, inv_perm=inv_perm, sorted_cell=sorted_cell,
                   sorted_rank=sorted_rank, sorted_cx=sorted_cx,
-                  sorted_cy=sorted_cy, starts=starts_full[:grid.num_cells + 1],
+                  sorted_cy=sorted_cy, starts=starts,
                   counts=counts, overflow=overflow, grid=grid)
 
 

@@ -203,7 +203,7 @@ def make_sharded_step(params: FluidParams, cfg: IntegrateConfig,
         vxb = jnp.where(alive, vx, 0.0)
         vyb = jnp.where(alive, vy, 0.0)
 
-        b = bin_particles(xb, yb, g, alive=alive, origin=origin)
+        b = bin_particles(xb, yb, g, alive=alive, origin=origin, with_csr=False)
         xd = to_dense(b, sort_field(b, xb), fill=FAR)
         yd = to_dense(b, sort_field(b, yb), fill=FAR)
 
