@@ -34,7 +34,8 @@ import jax.numpy as jnp
 from ..core.params import FluidParams, IntegrateConfig, GridSpec2D, GRAVITY_Y
 from ..core.state import FluidState
 from ..ops import integrator
-from ..ops.binning import FAR, bin_particles, sort_field, to_dense, from_dense
+from ..ops.binning import (FAR, bin_particles, to_dense, from_dense,
+                           from_dense_multi)
 from ..ops.kernels import w_poly6, grad_spiky, laplacian_visc, eos_pressure
 
 OFFSETS = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
@@ -131,22 +132,22 @@ def compute_rho_p_acc(state: FluidState, params: FluidParams,
     analog of the reference's density+pressure+forces passes."""
     density_fn, forces_fn = stencils
     binned = bin_particles(state.x, state.y, grid, with_csr=False)
-    xd = to_dense(binned, sort_field(binned, state.x), fill=FAR)
-    yd = to_dense(binned, sort_field(binned, state.y), fill=FAR)
+    xd = to_dense(binned, state.x, fill=FAR)
+    yd = to_dense(binned, state.y, fill=FAR)
 
     rho_d = density_fn(xd, yd, params)
 
-    vxd = to_dense(binned, sort_field(binned, state.vx), fill=0.0)
-    vyd = to_dense(binned, sort_field(binned, state.vy), fill=0.0)
+    vxd = to_dense(binned, state.vx, fill=0.0)
+    vyd = to_dense(binned, state.vy, fill=0.0)
     ax_d, ay_d = forces_fn(xd, yd, vxd, vyd, rho_d, params)
 
     # Overflowed particles fall back to self-density / gravity-only.
     h2 = params.h * params.h
     self_rho = params.m * (4.0 / (jnp.pi * h2 ** 4)) * h2 ** 3  # m * W(0)
-    rho = from_dense(binned, rho_d, fallback=self_rho)
+    rho, ax, ay = from_dense_multi(binned, [rho_d, ax_d, ay_d],
+                                   [self_rho, 0.0, 0.0])
     p = eos_pressure(rho, params)
-    ax = from_dense(binned, ax_d, fallback=0.0)
-    ay = from_dense(binned, ay_d, fallback=0.0) + GRAVITY_Y
+    ay = ay + GRAVITY_Y
 
     out = state.replace(ax=ax, ay=ay, rho=rho, p=p)
     return out, StepDiag(overflow=binned.overflow)

@@ -38,7 +38,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..core.params import FluidParams, IntegrateConfig, GridSpec2D, GRAVITY_Y
 from ..core.state import FluidState
 from ..ops import integrator
-from ..ops.binning import FAR, bin_particles, sort_field, to_dense, from_dense
+from ..ops.binning import (FAR, bin_particles, to_dense, from_dense_multi)
 from ..ops.kernels import eos_pressure
 from ..models import grid_solver
 
@@ -204,8 +204,8 @@ def make_sharded_step(params: FluidParams, cfg: IntegrateConfig,
         vyb = jnp.where(alive, vy, 0.0)
 
         b = bin_particles(xb, yb, g, alive=alive, origin=origin, with_csr=False)
-        xd = to_dense(b, sort_field(b, xb), fill=FAR)
-        yd = to_dense(b, sort_field(b, yb), fill=FAR)
+        xd = to_dense(b, xb, fill=FAR)
+        yd = to_dense(b, yb, fill=FAR)
 
         # halo 1: neighbour edge positions into my ghost columns
         xd = _fill_ghost_cols(xd, nxl, D, FAR)
@@ -213,8 +213,8 @@ def make_sharded_step(params: FluidParams, cfg: IntegrateConfig,
 
         rho_d = density_fn(xd, yd, params)
 
-        vxd = to_dense(b, sort_field(b, vxb), fill=0.0)
-        vyd = to_dense(b, sort_field(b, vyb), fill=0.0)
+        vxd = to_dense(b, vxb, fill=0.0)
+        vyd = to_dense(b, vyb, fill=0.0)
         # halo 2: neighbour edge velocity + density (positions already in)
         vxd = _fill_ghost_cols(vxd, nxl, D, 0.0)
         vyd = _fill_ghost_cols(vyd, nxl, D, 0.0)
@@ -224,11 +224,12 @@ def make_sharded_step(params: FluidParams, cfg: IntegrateConfig,
 
         h2 = params.h * params.h
         self_rho = params.m * (4.0 / (jnp.pi * h2 ** 4)) * h2 ** 3
-        rho = jnp.where(alive, from_dense(b, rho_d, fallback=self_rho), 0.0)
+        rho_g, ax_g, ay_g = from_dense_multi(
+            b, [rho_d, ax_d, ay_d], [self_rho, 0.0, 0.0])
+        rho = jnp.where(alive, rho_g, 0.0)
         p = jnp.where(alive, eos_pressure(rho, params), 0.0)
-        ax = jnp.where(alive, from_dense(b, ax_d, fallback=0.0), 0.0)
-        ay = jnp.where(alive,
-                       from_dense(b, ay_d, fallback=0.0) + GRAVITY_Y, 0.0)
+        ax = jnp.where(alive, ax_g, 0.0)
+        ay = jnp.where(alive, ay_g + GRAVITY_Y, 0.0)
 
         x2, y2, vx2, vy2 = integrator.euler(x, y, vx, vy, ax, ay, cfg.dt)
         x2, y2, vx2, vy2 = integrator.boundaries(x2, y2, vx2, vy2, cfg)

@@ -51,7 +51,7 @@ def test_determinism_and_stability():
 def test_dense_roundtrip():
     x, y = _random_xy(1500, seed=5)
     b = bin_particles(x, y, GRID)
-    dense = to_dense(b, sort_field(b, x), fill=FAR)
+    dense = to_dense(b, x, fill=FAR)
     assert dense.shape == (GRID.ny_pad, GRID.cap, GRID.nx_pad)
     assert GRID.nx_pad % 128 == 0
     back = from_dense(b, dense)
