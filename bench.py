@@ -34,13 +34,21 @@ import jax.numpy as jnp
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
 import bevy_gpu_fluid_tpu as bgf
-from bevy_gpu_fluid_tpu.models import grid_solver, pallas_solver
+from bevy_gpu_fluid_tpu.models import grid_solver, pallas_solver, verlet_solver
 
 NORTH_STAR = 10_000_000.0  # particle-steps/s/chip, BASELINE.json
 
 
 def bench_case(n_particles: int, n_steps: int, cap: int = 8,
-               verbose: bool = False) -> dict:
+               verbose: bool = False, solver: str = "verlet",
+               warmup_steps: int = 300) -> dict:
+    """Time a fully dynamic dam-break run on the chosen solver.
+
+    The scene is advanced ``warmup_steps`` first (untimed) so the timed
+    window sees developed flow — rebin-amortizing solvers would otherwise
+    flatter themselves on the near-static opening frames.  (The reference's
+    own bench never integrated at all: examples/bench_gpu.rs re-uploads a
+    static scene with UseGpuIntegration(false).)"""
     side = int(math.isqrt(n_particles))
     n = side * side
     state = bgf.init_grid(side, side, 0.04)
@@ -48,27 +56,36 @@ def bench_case(n_particles: int, n_steps: int, cap: int = 8,
     extent = side * 0.04
     # box fitted to the block with splash margin on all sides
     cfg = bgf.IntegrateConfig.create(x_min=-1.0, x_max=extent + 1.0)
-    grid = grid_solver.default_grid(0.045, -1.0, extent + 1.0,
-                                    y_max=extent * 1.1 + 1.0, cap=cap)
 
-    chunk = jax.jit(lambda s: pallas_solver.multi_step(s, params, cfg, grid,
-                                                       n_steps))
+    if solver == "verlet":
+        grid = verlet_solver.default_grid(0.045, -1.0, extent + 1.0,
+                                          y_max=extent * 1.1 + 1.0, cap=cap,
+                                          skin_factor=1.5)
+        run = jax.jit(lambda s, k: verlet_solver.multi_step(
+            s, params, cfg, grid, k)[:2], static_argnums=1)
+    else:
+        grid = grid_solver.default_grid(0.045, -1.0, extent + 1.0,
+                                        y_max=extent * 1.1 + 1.0, cap=cap)
+        run = jax.jit(lambda s, k: pallas_solver.multi_step(
+            s, params, cfg, grid, k), static_argnums=1)
 
-    # warmup: compile + one chunk
     t0 = time.time()
-    s, diag = jax.block_until_ready(chunk(state))
+    s, diag = jax.block_until_ready(run(state, warmup_steps))
+    s, diag = jax.block_until_ready(run(s, n_steps))  # compile timed shape
     t_compile = time.time() - t0
 
     t0 = time.time()
-    s, diag = jax.block_until_ready(chunk(s))
+    s, diag = jax.block_until_ready(run(s, n_steps))
     dt = time.time() - t0
 
     rate = n * n_steps / dt
     if verbose:
-        print(f"# n={n} steps={n_steps} compile+first={t_compile:.1f}s "
+        print(f"# n={n} solver={solver} steps={n_steps} "
+              f"(after {warmup_steps} warmup) "
+              f"compile+warmup={t_compile:.1f}s "
               f"run={dt:.3f}s ({dt / n_steps * 1e3:.2f} ms/step) "
               f"overflow={int(diag.overflow)} "
-              f"finite={bool(jnp.isfinite(s.pos).all())}", file=sys.stderr)
+              f"finite={bool(jnp.isfinite(s.x).all())}", file=sys.stderr)
     return {"n": n, "steps": n_steps, "seconds": dt, "rate": rate,
             "ms_per_step": dt / n_steps * 1e3, "overflow": int(diag.overflow)}
 
@@ -114,8 +131,11 @@ def bench_golden_step(side: int = 70) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1_000_000)
-    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--cap", type=int, default=8)
+    ap.add_argument("--solver", choices=["verlet", "pallas"],
+                    default="verlet")
+    ap.add_argument("--warmup-steps", type=int, default=300)
     ap.add_argument("--sweep", action="store_true",
                     help="also run 10k/100k cases (reported to stderr)")
     ap.add_argument("--fps", action="store_true",
@@ -130,9 +150,11 @@ def main() -> None:
         bench_fps()
     if args.sweep:
         for n in (10_000, 100_000):
-            bench_case(n, args.steps, cap=args.cap, verbose=True)
+            bench_case(n, args.steps, cap=args.cap, verbose=True,
+                       solver=args.solver, warmup_steps=args.warmup_steps)
 
-    r = bench_case(args.n, args.steps, cap=args.cap, verbose=True)
+    r = bench_case(args.n, args.steps, cap=args.cap, verbose=True,
+                   solver=args.solver, warmup_steps=args.warmup_steps)
     print(json.dumps({
         "metric": f"particle_steps_per_sec_per_chip_{args.n // 1000}k",
         "value": round(r["rate"], 1),

@@ -29,9 +29,10 @@ class Simulation:
 
     def __init__(self, state: FluidState, params: FluidParams,
                  cfg: IntegrateConfig, grid: GridSpec2D,
-                 solver: Literal["pallas", "xla", "golden"] = "pallas",
+                 solver: Literal["verlet", "pallas", "xla",
+                                 "golden"] = "verlet",
                  raster_width: int = 512, y_view_max: float | None = None):
-        from ..models import grid_solver, pallas_solver
+        from ..models import grid_solver, pallas_solver, verlet_solver
         from ..models import reference as golden
         from ..render import raster
 
@@ -56,6 +57,11 @@ class Simulation:
             self._run = jax.jit(
                 lambda s, n: grid_solver.multi_step(s, params, cfg, grid, n),
                 static_argnums=1)
+        elif solver == "verlet":
+            self._run = jax.jit(
+                lambda s, n: verlet_solver.multi_step(
+                    s, params, cfg, grid, n)[:2],
+                static_argnums=1)
         else:
             self._run = jax.jit(
                 lambda s, n: pallas_solver.multi_step(s, params, cfg, grid, n),
@@ -67,17 +73,22 @@ class Simulation:
 
     # ---- scene builders -------------------------------------------------
     @staticmethod
-    def dam_break(n: int = 5041, solver: str = "pallas",
+    def dam_break(n: int = 5041, solver: str = "verlet",
                   cap: int = 8, **kw) -> "Simulation":
         """The reference demo scene: sqrt(n)-square block in the [-5, 3]
         bounce box (reference: SPHState::demo_block_5k + IntegrateConfig
         defaults)."""
-        from ..models import grid_solver
+        from ..models import grid_solver, verlet_solver
         side = int(math.isqrt(n))
         state = init_grid(side, side, 0.04)
         params = FluidParams.demo()
         cfg = IntegrateConfig.create()
-        grid = grid_solver.default_grid(0.045, -5.0, 3.0, y_max=4.0, cap=cap)
+        if solver == "verlet":
+            grid = verlet_solver.default_grid(0.045, -5.0, 3.0, y_max=4.0,
+                                              cap=cap)
+        else:
+            grid = grid_solver.default_grid(0.045, -5.0, 3.0, y_max=4.0,
+                                            cap=cap)
         return Simulation(state, params, cfg, grid, solver=solver, **kw)
 
     # ---- stepping / interaction / rendering -----------------------------

@@ -1,0 +1,206 @@
+"""Deferred-rebinning solver: Verlet skin over the dense cell grid.
+
+The fastest single-chip path.  Binning (sort + scatters + gathers) is the
+step's dominant cost at 1M particles — all random-access, ~15 ns/element on
+TPU.  This solver amortizes it with the classic molecular-dynamics "Verlet
+list skin": bin into cells of ``cell_size = skin_factor * h`` (skin_factor >
+1), FREEZE the slot assignment, and keep the state *dense* between rebins —
+integration happens elementwise on the dense arrays, and the stencil kernels
+re-read current positions from the same frozen slots.  A rebin triggers (via
+``lax.cond``) only when some particle has moved more than half the skin
+``(cell_size - h) / 2`` since the last bin, which is exactly the condition
+under which the frozen 3x3 window is still a superset of every true r < h
+neighbourhood — the r^2 < h^2 gate does the final selection, so results are
+IDENTICAL to rebinning every step (up to f32 summation order).
+
+Between rebins a step costs: 2 stencil kernels + dense elementwise
+integrate + a displacement reduction.  No sorts, no scatters, no gathers.
+
+The reference has no analog — it rebuilt the full grid (GPU 8-pass +
+CPU CSR) every frame (reference: src/gpu/buffers.rs:291-298,
+assets/shaders/grid_build.wgsl).
+
+Empty-slot handling: FAR slots must stay FAR through integration (otherwise
+the bounce box would clamp them onto the walls as phantom particles), so all
+dense integration is masked by x < FAR/2.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.params import FluidParams, IntegrateConfig, GridSpec2D, GRAVITY_Y
+from ..core.state import FluidState
+from ..ops.binning import (FAR, bin_particles, to_dense, from_dense_multi,
+                           gather_slots)
+from ..ops.kernels import eos_pressure
+from . import grid_solver, pallas_solver
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=("xd", "yd", "vxd", "vyd", "ref_xd", "ref_yd",
+                      "cx", "cy", "rank", "age", "overflow", "rebin_count",
+                      "step"),
+         meta_fields=())
+@dataclasses.dataclass
+class DenseSim:
+    """Dense-resident simulation state between rebins.
+
+    xd/yd/vxd/vyd: float32[ny_pad, cap, nx_pad] current fields (FAR = empty)
+    ref_xd/ref_yd: positions at the last rebin (for the skin trigger)
+    cx/cy/rank:    int32[N] frozen slot coords per particle (original order)
+    age:           int32 steps since last rebin
+    overflow:      int32 max cell-cap overflow seen at any rebin
+    rebin_count:   int32
+    step:          int32
+    """
+
+    xd: jax.Array
+    yd: jax.Array
+    vxd: jax.Array
+    vyd: jax.Array
+    ref_xd: jax.Array
+    ref_yd: jax.Array
+    cx: jax.Array
+    cy: jax.Array
+    rank: jax.Array
+    age: jax.Array
+    overflow: jax.Array
+    rebin_count: jax.Array
+    step: jax.Array
+
+
+def _bin_now(x, y, vx, vy, grid: GridSpec2D, alive=None):
+    b = bin_particles(x, y, grid, alive=alive, with_csr=False)
+    xd = to_dense(b, x, fill=FAR)
+    yd = to_dense(b, y, fill=FAR)
+    vxd = to_dense(b, vx, fill=0.0)
+    vyd = to_dense(b, vy, fill=0.0)
+    return b, xd, yd, vxd, vyd
+
+
+def init_dense(state: FluidState, grid: GridSpec2D) -> DenseSim:
+    """Bin a particle state into the dense representation."""
+    b, xd, yd, vxd, vyd = _bin_now(state.x, state.y, state.vx, state.vy, grid)
+    return DenseSim(xd=xd, yd=yd, vxd=vxd, vyd=vyd, ref_xd=xd, ref_yd=yd,
+                    cx=b.cx, cy=b.cy, rank=b.rank,
+                    age=jnp.int32(0), overflow=b.overflow,
+                    rebin_count=jnp.int32(1), step=state.step)
+
+
+def _extract(sim: DenseSim, grid: GridSpec2D):
+    """Per-particle (x, y, vx, vy) via the frozen slot coords, one fused
+    gather.  Particles that overflowed cell capacity at a rebin have no slot
+    and come back as FAR — they stay dead (counted in sim.overflow; size
+    ``cap`` so this never fires)."""
+    return gather_slots(grid, sim.cx, sim.cy, sim.rank,
+                        [sim.xd, sim.yd, sim.vxd, sim.vyd],
+                        [FAR, FAR, 0.0, 0.0])
+
+
+def _skin(params: FluidParams, grid: GridSpec2D):
+    return (grid.cell_size - params.h) * 0.5
+
+
+def make_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
+              stencils=None, max_age: int = 64):
+    """Build the dense step fn: DenseSim -> DenseSim.
+
+    Requires grid.cell_size > h (a real skin).  ``max_age`` bounds staleness
+    regardless of displacement (also refreshes the overflow diagnostic)."""
+    if stencils is None:
+        stencils = pallas_solver.make_stencils(grid)
+    density_fn, forces_fn = stencils
+    # NB: requires grid.cell_size > h (a real skin, e.g. default_grid's 1.5h);
+    # with zero skin every step would rebin and this is just a slower eager
+    # solver. Not assertable here: params.h may be traced.
+    skin_half = _skin(params, grid)
+
+    def rebin(sim: DenseSim) -> DenseSim:
+        x, y, vx, vy = _extract(sim, grid)
+        b, xd, yd, vxd, vyd = _bin_now(x, y, vx, vy, grid,
+                                       alive=x < FAR * 0.5)
+        return DenseSim(xd=xd, yd=yd, vxd=vxd, vyd=vyd, ref_xd=xd, ref_yd=yd,
+                        cx=b.cx, cy=b.cy, rank=b.rank, age=jnp.int32(0),
+                        overflow=jnp.maximum(sim.overflow, b.overflow),
+                        rebin_count=sim.rebin_count + 1, step=sim.step)
+
+    def step(sim: DenseSim) -> DenseSim:
+        # rebin if any particle outran half the skin (or bins are too old)
+        dx = sim.xd - sim.ref_xd
+        dy = sim.yd - sim.ref_yd
+        disp2 = jnp.max(dx * dx + dy * dy)
+        need = (disp2 > skin_half * skin_half) | (sim.age >= max_age)
+        sim = jax.lax.cond(need, rebin, lambda s: s, sim)
+
+        live = sim.xd < FAR * 0.5
+        rho_d = density_fn(sim.xd, sim.yd, params)
+        ax_d, ay_d = forces_fn(sim.xd, sim.yd, sim.vxd, sim.vyd, rho_d,
+                               params)
+        ay_d = ay_d + GRAVITY_Y  # harmless on dead slots; they stay masked
+
+        # dense semi-implicit Euler + bounce box, masked so FAR stays FAR
+        vx = sim.vxd + ax_d * cfg.dt
+        vy = sim.vyd + ay_d * cfg.dt
+        x = sim.xd + vx * cfg.dt
+        y = sim.yd + vy * cfg.dt
+
+        below = y < cfg.floor_y
+        y = jnp.where(below, cfg.floor_y, y)
+        vy = jnp.where(below, vy * cfg.bounce, vy)
+        right = x > cfg.x_max
+        x = jnp.where(right, cfg.x_max, x)
+        vx = jnp.where(right, vx * cfg.bounce, vx)
+        left = x < cfg.x_min
+        x = jnp.where(left, cfg.x_min, x)
+        vx = jnp.where(left, vx * cfg.bounce, vx)
+
+        return dataclasses.replace(
+            sim,
+            xd=jnp.where(live, x, sim.xd),
+            yd=jnp.where(live, y, sim.yd),
+            vxd=jnp.where(live, vx, 0.0),
+            vyd=jnp.where(live, vy, 0.0),
+            age=sim.age + 1,
+            step=sim.step + 1,
+        )
+
+    return step
+
+
+def default_grid(params_h: float, x_min: float, x_max: float, y_max: float,
+                 cap: int = 8, skin_factor: float = 1.5) -> GridSpec2D:
+    """Binning grid with a Verlet skin: cells of skin_factor*h."""
+    return GridSpec2D.from_bounds(h=params_h * skin_factor, x_min=x_min,
+                                  x_max=x_max, y_min=0.0, y_max=y_max,
+                                  cap=cap)
+
+
+def multi_step(state: FluidState, params: FluidParams, cfg: IntegrateConfig,
+               grid: GridSpec2D, n_steps: int, stencils=None,
+               max_age: int = 64):
+    """n_steps with deferred rebinning; returns (FluidState, diag) where
+    diag carries max overflow and the number of rebins."""
+    stepf = make_step(params, cfg, grid, stencils, max_age)
+    sim = init_dense(state, grid)
+
+    def body(s, _):
+        return stepf(s), None
+    sim, _ = jax.lax.scan(body, sim, None, length=n_steps)
+
+    x, y, vx, vy = _extract(sim, grid)
+    # final per-particle density/pressure for rendering/parity
+    if stencils is None:
+        stencils = pallas_solver.make_stencils(grid)
+    rho_d = stencils[0](sim.xd, sim.yd, params)
+    h2 = params.h * params.h
+    self_rho = params.m * (4.0 / (jnp.pi * h2 ** 4)) * h2 ** 3
+    (rho,) = gather_slots(grid, sim.cx, sim.cy, sim.rank, [rho_d], [self_rho])
+    out = state.replace(x=x, y=y, vx=vx, vy=vy, rho=rho,
+                        p=eos_pressure(rho, params), step=sim.step)
+    diag = grid_solver.StepDiag(overflow=sim.overflow)
+    return out, diag, sim.rebin_count

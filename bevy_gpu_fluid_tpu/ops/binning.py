@@ -197,13 +197,18 @@ def from_dense_multi(binned: Binned, denses, fallbacks):
     """Gather SEVERAL dense fields per particle with ONE fused gather —
     random-access cost on TPU is per-index, not per-byte, so stacking fields
     on the trailing axis reads k fields for the price of one."""
-    g = binned.grid
-    rank = binned.rank
-    in_cap = rank < g.cap
+    return gather_slots(binned.grid, binned.cx, binned.cy, binned.rank,
+                        denses, fallbacks)
+
+
+def gather_slots(grid: GridSpec2D, cx, cy, rank, denses, fallbacks):
+    """from_dense_multi on raw slot coordinates (used by solvers that freeze
+    the slot assignment across steps)."""
+    in_cap = rank < grid.cap
     stacked = denses[0][..., None] if len(denses) == 1 \
         else jnp.stack(denses, axis=-1)
-    vals = stacked[binned.cy + g.row0, jnp.minimum(rank, g.cap - 1),
-                   binned.cx + 1]                      # [N, k]
+    vals = stacked[cy + grid.row0, jnp.minimum(rank, grid.cap - 1),
+                   cx + 1]                             # [N, k]
     outs = []
     for i, fb in enumerate(fallbacks):
         outs.append(jnp.where(in_cap, vals[:, i], fb))

@@ -1,0 +1,56 @@
+"""Deferred-rebinning (Verlet skin) solver: parity + rebin economics."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bevy_gpu_fluid_tpu import FluidParams, IntegrateConfig, init_grid
+from bevy_gpu_fluid_tpu.models import grid_solver, verlet_solver
+from bevy_gpu_fluid_tpu.models import reference as golden
+
+PARAMS = FluidParams.demo()
+CFG = IntegrateConfig.create(x_min=-1.0, x_max=2.5)
+VGRID = verlet_solver.default_grid(0.045, -1.0, 2.5, y_max=3.0,
+                                   cap=8, skin_factor=1.5)
+
+
+@pytest.fixture(scope="module")
+def run100():
+    state = init_grid(32, 32, 0.04)
+    g = jax.jit(lambda s: golden.multi_step(s, PARAMS, CFG, 100))(state)
+    v, diag, rebins = jax.jit(
+        lambda s: verlet_solver.multi_step(
+            s, PARAMS, CFG, VGRID, 100,
+            stencils=grid_solver.XLA_STENCILS))(state)
+    return g, v, diag, int(rebins)
+
+
+def test_verlet_matches_golden(run100):
+    g, v, diag, rebins = run100
+    assert int(diag.overflow) == 0
+    dx = float(jnp.maximum(jnp.max(jnp.abs(v.x - g.x)),
+                           jnp.max(jnp.abs(v.y - g.y))))
+    dv = float(jnp.maximum(jnp.max(jnp.abs(v.vx - g.vx)),
+                           jnp.max(jnp.abs(v.vy - g.vy))))
+    rel_rho = float(jnp.max(jnp.abs(v.rho - g.rho) / g.rho))
+    # the reference's 100-step observed drift bounds (sprint3.md:886-890)
+    assert dx <= 0.005448, f"|dx| {dx:.2e}"
+    assert dv <= 2.734728, f"|dv| {dv:.2e}"
+    assert rel_rho <= 0.01, f"rho rel {rel_rho:.2e}"
+
+
+def test_rebins_are_deferred(run100):
+    # the whole point: far fewer rebins than steps
+    _, _, _, rebins = run100
+    assert 1 <= rebins < 50, f"expected deferred rebinning, got {rebins}/100"
+
+
+def test_identical_to_eager_when_skin_never_exceeded():
+    # one step: verlet (fresh bins) == eager grid solver, same grid geometry
+    state = init_grid(16, 16, 0.04)
+    v, diag, _ = verlet_solver.multi_step(state, PARAMS, CFG, VGRID, 1,
+                                          stencils=grid_solver.XLA_STENCILS)
+    e, _ = grid_solver.multi_step(state, PARAMS, CFG, VGRID, 1,
+                                  stencils=grid_solver.XLA_STENCILS)
+    assert float(jnp.max(jnp.abs(v.x - e.x))) < 1e-6
+    assert float(jnp.max(jnp.abs(v.vx - e.vx))) < 1e-6
