@@ -71,6 +71,13 @@ class Simulation:
                 raster.render(s, params, self.spec, mode)),
             static_argnums=1)
 
+        def _run_frame(s, n, mode):
+            s, diag = self._run(s, n)
+            return s, diag, self._frame(s, mode)
+        # one dispatch per frame: step + raster fused (dispatch latency is
+        # the FPS ceiling for small scenes on tunneled rigs)
+        self._run_frame = jax.jit(_run_frame, static_argnums=(1, 2))
+
     # ---- scene builders -------------------------------------------------
     @staticmethod
     def dam_break(n: int = 5041, solver: str = "verlet",
@@ -110,6 +117,13 @@ class Simulation:
     def frame(self, mode: str = "density"):
         """Rasterize the current state on-device; returns uint8 [H, W, 3]."""
         return self._frame(self.state, mode)
+
+    def run_frame(self, substeps: int = 16, mode: str = "density"):
+        """Advance ``substeps`` and rasterize, in ONE device dispatch."""
+        self.state, diag, img = self._run_frame(self.state, substeps, mode)
+        if diag is not None:
+            self.overflow = max(self.overflow, int(diag.overflow))
+        return img
 
     def save(self, path: str) -> None:
         from ..utils import checkpoint

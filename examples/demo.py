@@ -48,8 +48,8 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/tpu_fluid_frames")
     ap.add_argument("--width", type=int, default=512)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
-    ap.add_argument("--solver", choices=["pallas", "xla", "golden"],
-                    default="pallas")
+    ap.add_argument("--solver", choices=["verlet", "pallas", "xla", "golden"],
+                    default="verlet")
     ap.add_argument("--kick-frame", type=int, default=30,
                     help="frame at which a scripted impulse is injected")
     ap.add_argument("--sink", choices=["native", "python"], default="native",
@@ -62,7 +62,8 @@ def main() -> None:
 
     import bevy_gpu_fluid_tpu as bgf
     from bevy_gpu_fluid_tpu.interact.impulse import apply_impulse
-    from bevy_gpu_fluid_tpu.models import grid_solver, pallas_solver
+    from bevy_gpu_fluid_tpu.models import (grid_solver, pallas_solver,
+                                           verlet_solver)
     from bevy_gpu_fluid_tpu.models import reference as golden
     from bevy_gpu_fluid_tpu.render import raster
 
@@ -71,6 +72,7 @@ def main() -> None:
     params = bgf.FluidParams.demo()
     cfg = bgf.IntegrateConfig.create()  # x in [-5, 3], bounce=-3
     grid = grid_solver.default_grid(0.045, -5.0, 3.0, y_max=4.0, cap=8)
+    vgrid = verlet_solver.default_grid(0.045, -5.0, 3.0, y_max=4.0, cap=8)
     spec = raster.RasterSpec.fit(-5.0, 3.0, 0.0, 4.0, width=args.width)
 
     if args.solver == "golden":
@@ -80,6 +82,10 @@ def main() -> None:
         def advance(s):
             return grid_solver.multi_step(s, params, cfg, grid,
                                           args.substeps)[0]
+    elif args.solver == "verlet":
+        def advance(s):
+            return verlet_solver.multi_step(s, params, cfg, vgrid,
+                                            args.substeps)[0]
     else:
         def advance(s):
             return pallas_solver.multi_step(s, params, cfg, grid,
