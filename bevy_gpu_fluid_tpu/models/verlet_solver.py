@@ -35,8 +35,7 @@ import jax.numpy as jnp
 
 from ..core.params import FluidParams, IntegrateConfig, GridSpec2D, GRAVITY_Y
 from ..core.state import FluidState
-from ..ops.binning import (FAR, bin_particles, to_dense, from_dense_multi,
-                           gather_slots)
+from ..ops.binning import FAR, bin_particles, to_dense, gather_slots
 from ..ops.kernels import eos_pressure
 from . import grid_solver, pallas_solver
 
