@@ -168,30 +168,35 @@ def field_density(xd: jax.Array, yd: jax.Array, params: FluidParams,
     xs = jax.lax.slice(xd, (x0, 0, 0), (x0 + ny + 2, cap, grid.nx_pad))
     ys = jax.lax.slice(yd, (x0, 0, 0), (x0 + ny + 2, cap, grid.nx_pad))
 
-    # pixel-center world coords per (cell, subpixel)
-    sub = (jnp.arange(P, dtype=jnp.float32) + 0.5) / P            # [P]
-    cell_x = grid.origin_x + (jnp.arange(nx, dtype=jnp.float32)[:, None]
-                              + sub[None, :]) * cs                # [nx, P]
-    cell_y = grid.origin_y + (jnp.arange(ny, dtype=jnp.float32)[:, None]
-                              + sub[None, :]) * cs                # [ny, P]
-
-    rho = jnp.zeros((ny, P, nx, P), jnp.float32)
-    for dy in (0, 1, 2):
-        tx = jax.lax.slice(xs, (dy, 0, 1), (dy + ny, cap, 1 + nx))
-        ty = jax.lax.slice(ys, (dy, 0, 1), (dy + ny, cap, 1 + nx))
-        for dx in (-1, 0, 1):
-            rx = tx if dx == 0 else jnp.roll(tx, -dx, axis=-1)
-            ry = ty if dx == 0 else jnp.roll(ty, -dx, axis=-1)
-            for kj in range(cap):
-                # [ny, 1, nx, 1] particle vs [ny, P, nx, P] pixel lattice
-                ddx = cell_x[None, None, :, :] - rx[:, kj, None, :, None]
-                ddy = cell_y[:, :, None, None] - ry[:, kj, None, :, None]
-                r2 = ddx * ddx + ddy * ddy
-                d = h2 - r2
-                rho = rho + jnp.where(r2 < h2, d * d * d, 0.0)
+    # base pixel world coords per cell (subpixel offsets added per pass);
+    # all temporaries stay [ny, nx] — lane-clean and padding-free
+    cell_x0 = grid.origin_x + jnp.arange(nx, dtype=jnp.float32)[None, :] * cs
+    cell_y0 = grid.origin_y + jnp.arange(ny, dtype=jnp.float32)[:, None] * cs
 
     coeff = params.m * 4.0 / (jnp.pi * (h2 * h2) * (h2 * h2))
-    return (rho * coeff).transpose(0, 1, 2, 3).reshape(ny * P, nx * P)
+    sub_fields = []
+    for sy in range(P):
+        for sx in range(P):
+            px = cell_x0 + ((sx + 0.5) / P) * cs       # [1, nx]
+            py = cell_y0 + ((sy + 0.5) / P) * cs       # [ny, 1]
+            rho = jnp.zeros((ny, nx), jnp.float32)
+            for dy in (0, 1, 2):
+                tx = jax.lax.slice(xs, (dy, 0, 1), (dy + ny, cap, 1 + nx))
+                ty = jax.lax.slice(ys, (dy, 0, 1), (dy + ny, cap, 1 + nx))
+                for dx in (-1, 0, 1):
+                    rx = tx if dx == 0 else jnp.roll(tx, -dx, axis=-1)
+                    ry = ty if dx == 0 else jnp.roll(ty, -dx, axis=-1)
+                    for kj in range(cap):
+                        ddx = px - rx[:, kj, :]
+                        ddy = py - ry[:, kj, :]
+                        r2 = ddx * ddx + ddy * ddy
+                        d = h2 - r2
+                        rho = rho + jnp.where(r2 < h2, d * d * d, 0.0)
+            sub_fields.append(rho * coeff)
+
+    # interleave the P*P subfields into [ny*P, nx*P]
+    stacked = jnp.stack(sub_fields).reshape(P, P, ny, nx)
+    return stacked.transpose(2, 0, 3, 1).reshape(ny * P, nx * P)
 
 
 def field_render(xd: jax.Array, yd: jax.Array, params: FluidParams, grid,
