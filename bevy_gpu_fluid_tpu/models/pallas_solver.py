@@ -36,6 +36,8 @@ untestable without a physical GPU).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -164,18 +166,22 @@ def _forces_kernel(pr, x_hbm, y_hbm, vx_hbm, vy_hbm, rho_hbm,
                 if center:
                     ok = ok & (ki != kj)
 
-                dist = jnp.sqrt(r2)
-                near = dist >= _EPS
-                inv_r = jnp.where(near,
-                                  1.0 / jnp.where(near, dist, 1.0), 0.0)
+                # one rsqrt replaces sqrt + both guarded divides:
+                # inv_r = 1/r, r = r2 * inv_r; near-zero pairs masked
+                near = r2 >= _EPS * _EPS
+                inv_r = jnp.where(near, jax.lax.rsqrt(
+                    jnp.where(near, r2, 1.0)), 0.0)
+                dist = r2 * inv_r
                 hr = h - dist
 
                 # a_p = -m (p_i+p_j)/(2 rho_j) * spiky_c*(h-r)^2 * r_hat
                 fac_p = (-m * 0.5) * (pi_ + rp[:, kj:kj + 1, :]) \
                     * ri[:, kj:kj + 1, :] * (spiky_c * hr * hr * inv_r)
-                # a_v = mu m (v_j - v_i)/rho_j * visc_c*(h-r)
-                fac_v = (mu * m * visc_c) * hr * ri[:, kj:kj + 1, :] \
-                    * jnp.where(near, 1.0, 0.0)
+                # a_v = mu m (v_j - v_i)/rho_j * visc_c*(h-r);
+                # the inv_r mask already zeroes fac_p at r~0, and hr*near
+                # gates a_v the same way the laplacian's r>0 check did
+                fac_v = (mu * m * visc_c) * ri[:, kj:kj + 1, :] \
+                    * jnp.where(near, hr, 0.0)
 
                 ax = ax + jnp.where(
                     ok, fac_p * ddx + fac_v * (rvx[:, kj:kj + 1, :] - vxi),
@@ -203,7 +209,6 @@ def density_pallas(xd, yd, params: FluidParams, grid: GridSpec2D,
     if interpret is None:
         interpret = _interpret_default()
     tb = grid.row_block
-    import functools
     kernel = functools.partial(_density_kernel, tb=tb)
     return pl.pallas_call(
         kernel,
@@ -232,7 +237,6 @@ def forces_pallas(xd, yd, vxd, vyd, rho_d, params: FluidParams,
     if interpret is None:
         interpret = _interpret_default()
     tb = grid.row_block
-    import functools
     kernel = functools.partial(_forces_kernel, tb=tb)
     out = jax.ShapeDtypeStruct(xd.shape, jnp.float32)
     block = pl.BlockSpec((tb, grid.cap, grid.nx_pad), lambda r: (r + 1, 0, 0))
