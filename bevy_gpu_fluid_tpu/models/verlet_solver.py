@@ -41,7 +41,7 @@ from . import grid_solver, pallas_solver
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=("xd", "yd", "vxd", "vyd", "ref_xd", "ref_yd",
+         data_fields=("xd", "yd", "vxd", "vyd", "rho_d", "ref_xd", "ref_yd",
                       "cx", "cy", "rank", "age", "overflow", "rebin_count",
                       "step"),
          meta_fields=())
@@ -50,6 +50,9 @@ class DenseSim:
     """Dense-resident simulation state between rebins.
 
     xd/yd/vxd/vyd: float32[ny_pad, cap, nx_pad] current fields (FAR = empty)
+    rho_d:         density at the last step's PRE-integrate positions — the
+                   same convention as the reference's stored rho (its step
+                   runs density first, src/cpu/sph2d.rs:222-227)
     ref_xd/ref_yd: positions at the last rebin (for the skin trigger)
     cx/cy/rank:    int32[N] frozen slot coords per particle (original order)
     age:           int32 steps since last rebin
@@ -62,6 +65,7 @@ class DenseSim:
     yd: jax.Array
     vxd: jax.Array
     vyd: jax.Array
+    rho_d: jax.Array
     ref_xd: jax.Array
     ref_yd: jax.Array
     cx: jax.Array
@@ -85,7 +89,8 @@ def _bin_now(x, y, vx, vy, grid: GridSpec2D, alive=None):
 def init_dense(state: FluidState, grid: GridSpec2D) -> DenseSim:
     """Bin a particle state into the dense representation."""
     b, xd, yd, vxd, vyd = _bin_now(state.x, state.y, state.vx, state.vy, grid)
-    return DenseSim(xd=xd, yd=yd, vxd=vxd, vyd=vyd, ref_xd=xd, ref_yd=yd,
+    return DenseSim(xd=xd, yd=yd, vxd=vxd, vyd=vyd,
+                    rho_d=jnp.zeros_like(xd), ref_xd=xd, ref_yd=yd,
                     cx=b.cx, cy=b.cy, rank=b.rank,
                     age=jnp.int32(0), overflow=b.overflow,
                     rebin_count=jnp.int32(1), step=state.step)
@@ -123,7 +128,8 @@ def make_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
         x, y, vx, vy = _extract(sim, grid)
         b, xd, yd, vxd, vyd = _bin_now(x, y, vx, vy, grid,
                                        alive=x < FAR * 0.5)
-        return DenseSim(xd=xd, yd=yd, vxd=vxd, vyd=vyd, ref_xd=xd, ref_yd=yd,
+        return DenseSim(xd=xd, yd=yd, vxd=vxd, vyd=vyd, rho_d=sim.rho_d,
+                        ref_xd=xd, ref_yd=yd,
                         cx=b.cx, cy=b.cy, rank=b.rank, age=jnp.int32(0),
                         overflow=jnp.maximum(sim.overflow, b.overflow),
                         rebin_count=sim.rebin_count + 1, step=sim.step)
@@ -164,6 +170,7 @@ def make_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
             yd=jnp.where(live, y, sim.yd),
             vxd=jnp.where(live, vx, 0.0),
             vyd=jnp.where(live, vy, 0.0),
+            rho_d=rho_d,
             age=sim.age + 1,
             step=sim.step + 1,
         )
@@ -192,13 +199,13 @@ def multi_step(state: FluidState, params: FluidParams, cfg: IntegrateConfig,
     sim, _ = jax.lax.scan(body, sim, None, length=n_steps)
 
     x, y, vx, vy = _extract(sim, grid)
-    # final per-particle density/pressure for rendering/parity
-    if stencils is None:
-        stencils = pallas_solver.make_stencils(grid)
-    rho_d = stencils[0](sim.xd, sim.yd, params)
+    # per-particle density at the last step's pre-integrate positions (the
+    # reference's stored-rho convention; note the frozen slot coords are
+    # valid for rho_d too — rebinning happens before density in a step)
     h2 = params.h * params.h
     self_rho = params.m * (4.0 / (jnp.pi * h2 ** 4)) * h2 ** 3
-    (rho,) = gather_slots(grid, sim.cx, sim.cy, sim.rank, [rho_d], [self_rho])
+    (rho,) = gather_slots(grid, sim.cx, sim.cy, sim.rank, [sim.rho_d],
+                          [self_rho])
     out = state.replace(x=x, y=y, vx=vx, vy=vy, rho=rho,
                         p=eos_pressure(rho, params), step=sim.step)
     diag = grid_solver.StepDiag(overflow=sim.overflow)

@@ -17,3 +17,9 @@ import jax  # noqa: E402
 
 # Overrides the axon/TPU plugin the image forces via JAX_PLATFORMS.
 jax.config.update("jax_platforms", "cpu")
+
+# Warm compile cache across test runs (XLA CPU compiles of the interpreted
+# Pallas parity suites are the bulk of suite wall time).
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -40,7 +40,7 @@ def test_sharded_matches_single_device(setup4):
     n = state.n
 
     ss = shard.shard_state(state, spec)
-    for _ in range(50):
+    for _ in range(30):
         ss, diag = step(ss)
     assert int(diag.overflow.sum()) == 0
     assert int(diag.dropped.sum()) == 0
@@ -50,7 +50,7 @@ def test_sharded_matches_single_device(setup4):
     gglobal = spec.local_grid
     import dataclasses
     gglobal = dataclasses.replace(gglobal, nx=spec.nx_local * 4)
-    single, sdiag = grid_solver.multi_step(state, params, cfg, gglobal, 50)
+    single, sdiag = grid_solver.multi_step(state, params, cfg, gglobal, 30)
     assert int(sdiag.overflow) == 0
 
     flat = shard.unshard_state(ss)
@@ -69,10 +69,10 @@ def test_migration_conserves_particles(setup4):
     params, cfg, spec, mesh, step = setup4
     state = init_grid(16, 16, 0.04)
     # fling the whole block rightward hard: it must cross slab boundaries
-    state = state.replace(vx=jnp.full((state.n,), 2.0))
+    state = state.replace(vx=jnp.full((state.n,), 4.0))
     ss = shard.shard_state(state, spec)
     per_dev_before = np.asarray(jnp.sum(ss.alive, axis=1))
-    for _ in range(200):
+    for _ in range(100):
         ss, diag = step(ss)
     per_dev_after = np.asarray(jnp.sum(ss.alive, axis=1))
     assert int(diag.dropped.sum()) == 0

@@ -16,7 +16,7 @@ VGRID = verlet_solver.default_grid(0.045, -1.0, 2.5, y_max=3.0,
 
 @pytest.fixture(scope="module")
 def run100():
-    state = init_grid(32, 32, 0.04)
+    state = init_grid(24, 24, 0.04)
     g = jax.jit(lambda s: golden.multi_step(s, PARAMS, CFG, 100))(state)
     v, diag, rebins = jax.jit(
         lambda s: verlet_solver.multi_step(
