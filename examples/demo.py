@@ -100,8 +100,12 @@ def main() -> None:
     os.makedirs(args.out, exist_ok=True)
     sink = None
     if args.sink == "native":
-        from bevy_gpu_fluid_tpu.native import FrameSink
-        sink = FrameSink(args.out, width=spec.width, height=spec.height)
+        try:
+            from bevy_gpu_fluid_tpu.native import FrameSink
+            sink = FrameSink(args.out, width=spec.width, height=spec.height)
+        except Exception as e:  # no g++ on this host -> python writes
+            print(f"native sink unavailable ({e}); falling back to python",
+                  file=sys.stderr)
 
     t0 = time.time()
     dropped = 0
