@@ -115,7 +115,22 @@ class Simulation:
         self.state = imp.apply_impulse(self.state, x, y, dir_x, dir_y, **kw)
 
     def frame(self, mode: str = "density"):
-        """Rasterize the current state on-device; returns uint8 [H, W, 3]."""
+        """Rasterize the current state on-device; returns uint8 [H, W, 3].
+
+        Modes: 'density' / 'const' (per-particle Poly6 splats, like the
+        reference's sprites) or 'field' / 'field_const' (the scalable
+        density-field raster — use for N >> 100k)."""
+        if mode.startswith("field"):
+            from ..ops.binning import FAR, bin_particles, to_dense
+            from ..render import raster
+            b = bin_particles(self.state.x, self.state.y, self.grid,
+                              with_csr=False)
+            xd = to_dense(b, self.state.x, fill=FAR)
+            yd = to_dense(b, self.state.y, fill=FAR)
+            img = raster.field_render(
+                xd, yd, self.params, self.grid, px_per_cell=2,
+                mode="const" if mode == "field_const" else "density")
+            return raster.to_rgb8(img)
         return self._frame(self.state, mode)
 
     def run_frame(self, substeps: int = 16, mode: str = "density"):
