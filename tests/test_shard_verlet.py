@@ -32,13 +32,13 @@ def test_matches_eager_sharded(setup):
 
     ss = shard.shard_state(state, spec)
     sim = init_fn(ss)
-    for _ in range(40):
+    for _ in range(25):
         sim = step_fn(sim)
     assert int(sim.overflow.sum()) == 0
     assert int(sim.dropped.sum()) == 0
 
     se = shard.shard_state(state, spec)
-    for _ in range(40):
+    for _ in range(25):
         se, diag = eager(se)
     assert int(diag.dropped.sum()) == 0
 
@@ -63,7 +63,7 @@ def test_cross_slab_flow_conserves(setup):
     state = init_grid(12, 12, 0.04)
     state = state.replace(vx=jnp.full((state.n,), 4.0))
     sim = init_fn(shard.shard_state(state, spec))
-    for _ in range(120):
+    for _ in range(80):
         sim = step_fn(sim)
     assert int(sim.dropped.sum()) == 0
     assert int(jnp.sum(sim.alive)) == state.n
