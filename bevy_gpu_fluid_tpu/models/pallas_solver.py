@@ -98,8 +98,9 @@ def _density_kernel(pr, x_hbm, y_hbm, rho_ref, xs, ys, sems, *, tb):
                 ddx = xi - rx[:, kj:kj + 1, :]
                 ddy = yi - ry[:, kj:kj + 1, :]
                 r2 = ddx * ddx + ddy * ddy
-                d = h2 - r2
-                rho = rho + jnp.where(r2 < h2, d * d * d, 0.0)
+                # max(h^2-r^2, 0) IS the range gate — no select needed
+                d = jnp.maximum(h2 - r2, 0.0)
+                rho = rho + d * d * d
 
     # fold in the Poly6 normalization once: m * 4/(pi h^8)
     rho_ref[...] = rho * (m * 4.0 / (jnp.pi * (h2 * h2) * (h2 * h2)))
@@ -142,7 +143,6 @@ def _forces_kernel(pr, x_hbm, y_hbm, vx_hbm, vy_hbm, rho_hbm,
     vyi = _shift(vys[...], 0, tb)
     pi_ = _shift(p_slab, 0, tb)
     cap = xi.shape[1]
-    ki = jax.lax.broadcasted_iota(jnp.int32, (1, cap, 1), 1)
 
     ax = jnp.zeros_like(xi)
     ay = jnp.zeros_like(xi)
@@ -157,38 +157,36 @@ def _forces_kernel(pr, x_hbm, y_hbm, vx_hbm, vy_hbm, rho_hbm,
             rx, ry = _roll(tx, dx), _roll(ty, dx)
             rvx, rvy = _roll(tvx, dx), _roll(tvy, dx)
             rp, ri = _roll(tp, dx), _roll(ti, dx)
-            center = dy == 0 and dx == 0
             for kj in range(cap):
                 ddx = xi - rx[:, kj:kj + 1, :]
                 ddy = yi - ry[:, kj:kj + 1, :]
                 r2 = ddx * ddx + ddy * ddy
-                ok = r2 < h2
-                if center:
-                    ok = ok & (ki != kj)
 
-                # one rsqrt replaces sqrt + both guarded divides:
-                # inv_r = 1/r, r = r2 * inv_r; near-zero pairs masked
+                # Branch-free gating, no pair selects at all:
+                # * max(h - r, 0) is the r < h gate (both kernel factors),
+                # * inv_r = 0 below EPS zeroes a_p there (matching the
+                #   spiky kernel's r > 0 check), and a_v at r ~ 0 dies on
+                #   (v_j - v_i) = 0 for the self pair / the near mask for
+                #   distinct coincident pairs,
+                # * the j == i self pair therefore contributes exactly 0 —
+                #   no slot-identity exclusion needed.
                 near = r2 >= _EPS * _EPS
                 inv_r = jnp.where(near, jax.lax.rsqrt(
                     jnp.where(near, r2, 1.0)), 0.0)
                 dist = r2 * inv_r
-                hr = h - dist
+                hr = jnp.maximum(h - dist, 0.0)
+                hr_n = jnp.where(near, hr, 0.0)
 
                 # a_p = -m (p_i+p_j)/(2 rho_j) * spiky_c*(h-r)^2 * r_hat
                 fac_p = (-m * 0.5) * (pi_ + rp[:, kj:kj + 1, :]) \
                     * ri[:, kj:kj + 1, :] * (spiky_c * hr * hr * inv_r)
-                # a_v = mu m (v_j - v_i)/rho_j * visc_c*(h-r);
-                # the inv_r mask already zeroes fac_p at r~0, and hr*near
-                # gates a_v the same way the laplacian's r>0 check did
-                fac_v = (mu * m * visc_c) * ri[:, kj:kj + 1, :] \
-                    * jnp.where(near, hr, 0.0)
+                # a_v = mu m (v_j - v_i)/rho_j * visc_c*(h-r)
+                fac_v = (mu * m * visc_c) * ri[:, kj:kj + 1, :] * hr_n
 
-                ax = ax + jnp.where(
-                    ok, fac_p * ddx + fac_v * (rvx[:, kj:kj + 1, :] - vxi),
-                    0.0)
-                ay = ay + jnp.where(
-                    ok, fac_p * ddy + fac_v * (rvy[:, kj:kj + 1, :] - vyi),
-                    0.0)
+                ax = ax + (fac_p * ddx
+                           + fac_v * (rvx[:, kj:kj + 1, :] - vxi))
+                ay = ay + (fac_p * ddy
+                           + fac_v * (rvy[:, kj:kj + 1, :] - vyi))
     ax_ref[...] = ax
     ay_ref[...] = ay
 
