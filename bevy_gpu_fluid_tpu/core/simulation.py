@@ -31,23 +31,37 @@ class Simulation:
                  cfg: IntegrateConfig, grid: GridSpec2D,
                  solver: Literal["verlet", "pallas", "xla",
                                  "golden"] = "verlet",
-                 raster_width: int = 512, y_view_max: float | None = None):
-        from ..models import grid_solver, pallas_solver, verlet_solver
-        from ..models import reference as golden
-        from ..render import raster
-
+                 raster_width: int = 512, y_view_max: float | None = None,
+                 validate_every: int = 0):
         self.state = state
         self.params = params
         self.cfg = cfg
         self.grid = grid
         self.solver = solver
         self.overflow = 0
+        self.validate_every = validate_every
+        self.last_parity = None
+        self._raster_width = raster_width
+        self._y_view_max = y_view_max
+        self._steps_since_validate = 0
+        self._rebuild()
+
+    def _rebuild(self) -> None:
+        """(Re)build the jitted step/raster closures from the CURRENT
+        params/cfg/grid — called by __init__ and by load() so a restored
+        checkpoint's physics actually takes effect."""
+        from ..models import grid_solver, pallas_solver, verlet_solver
+        from ..models import reference as golden
+        from ..render import raster
+
+        params, cfg, grid, solver = self.params, self.cfg, self.grid, \
+            self.solver
         self._raster = raster
         self.spec = raster.RasterSpec.fit(
             float(cfg.x_min), float(cfg.x_max), float(cfg.floor_y),
-            y_view_max if y_view_max is not None
+            self._y_view_max if self._y_view_max is not None
             else float(cfg.floor_y) + grid.ny * grid.cell_size,
-            width=raster_width)
+            width=self._raster_width)
 
         if solver == "golden":
             self._run = jax.jit(
@@ -100,11 +114,30 @@ class Simulation:
 
     # ---- stepping / interaction / rendering -----------------------------
     def run(self, n_steps: int) -> FluidState:
-        """Advance n_steps on-device (one compiled scan)."""
+        """Advance n_steps on-device (one compiled scan).
+
+        With ``validate_every=K`` set, an O(N^2) golden-model spot check runs
+        whenever K or more steps have accumulated since the last one — the
+        opt-in analog of the reference's periodic ``readback_and_compare``
+        system (reference: src/gpu/buffers.rs:554-695, hook at
+        examples/sph2d_cpu_demo.rs:53).  Raises ParityError on violation; the
+        last passing report is kept on ``self.last_parity``."""
         self.state, diag = self._run(self.state, n_steps)
         if diag is not None:
             self.overflow = max(self.overflow, int(diag.overflow))
+        if self.validate_every > 0:
+            self._steps_since_validate += n_steps
+            if self._steps_since_validate >= self.validate_every:
+                self._steps_since_validate = 0
+                self.last_parity = self.validate()
         return self.state
+
+    def validate(self, raise_on_fail: bool = True):
+        """One golden-model parity spot check of the current rho/p fields
+        (positions are the source of truth; see utils/validator)."""
+        from ..utils import validator
+        return validator.validate_fields(self.state, self.params,
+                                         raise_on_fail=raise_on_fail)
 
     def kick(self, x: float, y: float, dir_x: float, dir_y: float,
              impulse: float | None = None) -> None:
@@ -145,6 +178,18 @@ class Simulation:
         checkpoint.save(path, self.state, self.params, self.cfg)
 
     def load(self, path: str) -> None:
+        """Restore a checkpoint.  If the checkpoint carries params/cfg they
+        REPLACE the simulation's and the jitted step closures are rebuilt —
+        resuming a run saved under different physics must simulate that
+        physics, not the constructor's (the binning grid is kept: it is
+        static geometry; callers changing the box should construct a new
+        Simulation)."""
         from ..utils import checkpoint
         state, params, cfg = checkpoint.load(path)
         self.state = state
+        if params is not None or cfg is not None:
+            if params is not None:
+                self.params = params
+            if cfg is not None:
+                self.cfg = cfg
+            self._rebuild()

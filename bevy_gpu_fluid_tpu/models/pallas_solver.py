@@ -25,9 +25,17 @@ in-register (one pass per slab), so only five dense fields ever live in HBM
 (x, y, vx, vy, rho) — the reference's separate ``pressure_main`` pass
 (sph_density.wgsl:165-175) has no HBM counterpart here at all.
 
-Output ghost blocks are never written (the grid covers interior blocks only);
-garbage there flows only into pair terms whose FAR positions fail the
-r^2 < h^2 gate, and NaN/Inf cannot escape a discarded select branch.
+Output ghost blocks are never written (the grid covers interior blocks only).
+Safety invariant (pair gating is ARITHMETIC, not select-based, since the
+branch-free rewrite): every halo row adjacent to a real row is written by an
+interior block (row0 = row_block + 1 guarantees the blocks' (TB+2)-row windows
+tile all such rows), so the only unwritten-garbage rows a stencil can read
+belong to outer ghost blocks whose outputs are themselves never consumed.
+Empty slots rely on the FAR sentinel making max(h^2 - r^2, 0) / max(h - r, 0)
+exactly zero — a NaN that enters a position field WILL propagate to
+neighbours' sums (there is no ok-select to contain it), which is why the
+binning layer guarantees FAR (never NaN) in every unoccupied slot; edits to
+row0/block layout must preserve both properties.
 
 CI note: on non-TPU backends the kernels run in Pallas interpreter mode
 (``interpret=True``) — a CI story the reference never had (its GPU path was

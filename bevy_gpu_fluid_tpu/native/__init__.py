@@ -22,11 +22,14 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "framesink.cpp")
 
 
-def _build() -> str:
+def _build(force: bool = False) -> str:
+    """Compile (or reuse) the hash-named shared object.  Binaries are never
+    committed (gitignored): the first use on any host compiles for THAT
+    host."""
     with open(_SRC, "rb") as f:
         tag = hashlib.sha256(f.read()).hexdigest()[:16]
     out = os.path.join(_HERE, f"_framesink_{tag}.so")
-    if not os.path.exists(out):
+    if force or not os.path.exists(out):
         tmp = out + ".tmp"
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17",
@@ -39,10 +42,18 @@ def _build() -> str:
 _lib = None
 
 
+def _dlopen():
+    try:
+        return ctypes.CDLL(_build())
+    except OSError:
+        # a stale/foreign-arch binary slipped in: rebuild from source
+        return ctypes.CDLL(_build(force=True))
+
+
 def _load():
     global _lib
     if _lib is None:
-        lib = ctypes.CDLL(_build())
+        lib = _dlopen()
         lib.fs_create.restype = ctypes.c_void_p
         lib.fs_create.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                   ctypes.c_int, ctypes.c_int]

@@ -308,6 +308,16 @@ def make_sharded_step(params: FluidParams, cfg: IntegrateConfig,
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
+    """1D mesh over the first n_devices devices.  Raises (rather than
+    silently building a smaller mesh) when the initialized backend cannot
+    supply that many — a truncated mesh hands shard_map the full array per
+    "shard" and fails later with an opaque reshape error."""
     devs = jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        raise ValueError(
+            f"make_mesh({n}): backend '{jax.default_backend()}' has only "
+            f"{len(devs)} device(s). For a virtual CPU mesh, set "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n} and "
+            f"force the CPU platform BEFORE JAX initializes.")
     return Mesh(devs[:n], (AXIS,))

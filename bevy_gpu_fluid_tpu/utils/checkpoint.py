@@ -19,9 +19,16 @@ from ..core.params import FluidParams, IntegrateConfig
 from ..core.state import FluidState
 
 
+def _norm(path: str) -> str:
+    """np.savez appends '.npz' to extension-less paths; normalize so
+    save('ckpt') / load('ckpt') round-trips."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save(path: str, state: FluidState, params: FluidParams | None = None,
          cfg: IntegrateConfig | None = None) -> None:
     """Write state (and optionally params/config) to an .npz file."""
+    path = _norm(path)
     arrays = {f"state.{k}": np.asarray(v)
               for k, v in dataclasses.asdict(state).items()}
     if params is not None:
@@ -41,7 +48,7 @@ def _group(z, prefix: str) -> dict:
 def load(path: str) -> tuple[FluidState, FluidParams | None,
                              IntegrateConfig | None]:
     """Read back (state, params-or-None, cfg-or-None)."""
-    z = np.load(path)
+    z = np.load(_norm(path))
     state = FluidState(**_group(z, "state."))
     pkw = _group(z, "params.")
     ckw = _group(z, "cfg.")

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import pytest
 
 from bevy_gpu_fluid_tpu import FluidParams, IntegrateConfig, init_grid
-from bevy_gpu_fluid_tpu.models import grid_solver, verlet_solver
+from bevy_gpu_fluid_tpu.models import grid_solver, pallas_solver, verlet_solver
 from bevy_gpu_fluid_tpu.models import reference as golden
 
 PARAMS = FluidParams.demo()
@@ -15,13 +15,22 @@ VGRID = verlet_solver.default_grid(0.045, -1.0, 2.5, y_max=3.0,
 
 
 @pytest.fixture(scope="module")
-def run100():
+def golden100():
     state = init_grid(24, 24, 0.04)
-    g = jax.jit(lambda s: golden.multi_step(s, PARAMS, CFG, 100))(state)
+    return state, jax.jit(lambda s: golden.multi_step(s, PARAMS, CFG, 100))(
+        state)
+
+
+# both stencil backends are held to the same drift bars: "pallas" is the
+# flagship shipped combination (Simulation's verlet default + the bench path)
+@pytest.fixture(scope="module", params=["xla", "pallas"])
+def run100(request, golden100):
+    state, g = golden100
+    stencils = (grid_solver.XLA_STENCILS if request.param == "xla"
+                else pallas_solver.make_stencils(VGRID, interpret=True))
     v, diag, rebins = jax.jit(
         lambda s: verlet_solver.multi_step(
-            s, PARAMS, CFG, VGRID, 100,
-            stencils=grid_solver.XLA_STENCILS))(state)
+            s, PARAMS, CFG, VGRID, 100, stencils=stencils))(state)
     return g, v, diag, int(rebins)
 
 
