@@ -222,8 +222,8 @@ def density_pallas(xd, yd, params: FluidParams, grid: GridSpec2D,
         in_specs=[
             pl.BlockSpec((1, 8), lambda r: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((tb, grid.cap, grid.nx_pad),
                                lambda r: (r + 1, 0, 0)),
@@ -251,7 +251,7 @@ def forces_pallas(xd, yd, vxd, vyd, rho_d, params: FluidParams,
         grid=(grid.n_row_blocks,),
         in_specs=[pl.BlockSpec((1, 8), lambda r: (0, 0),
                                memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.ANY)] * 5,
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 5,
         out_specs=(block, block),
         out_shape=(out, out),
         scratch_shapes=[_slab(grid)] * 5 + [pltpu.SemaphoreType.DMA((5,))],

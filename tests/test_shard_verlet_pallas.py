@@ -1,0 +1,76 @@
+"""The production multi-chip combination: sharded verlet (deferred
+rebinning) + Pallas stencils (interpret mode), at D=4.
+
+Round-1 gap: this exact pairing — the one the hardware perf numbers are
+claimed on — had zero CI coverage (shard_verlet was tested with XLA stencils,
+Pallas with the eager shard solver).  Here the Pallas run is gated directly
+against the XLA-stencil run of the SAME sharded-verlet solver: identical
+algorithm, only the kernel backend differs, so the tolerance is kernel-level
+(1e-4 nearest-neighbour positions), far tighter than the drift bars."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bevy_gpu_fluid_tpu import FluidParams, IntegrateConfig, init_grid
+from bevy_gpu_fluid_tpu.models import pallas_solver
+from bevy_gpu_fluid_tpu.parallel import shard, shard_verlet
+
+PARAMS = FluidParams.demo()
+CFG = IntegrateConfig.create(x_min=-1.0, x_max=2.5)
+STEPS = 30
+
+
+@pytest.fixture(scope="module")
+def runs():
+    spec = shard.ShardSpec.build(h=0.045 * 1.5, x_min=-1.0, x_max=2.5,
+                                 y_max=3.0, n_devices=4, capacity=1024)
+    mesh = shard.make_mesh(4)
+    init_x, step_x = shard_verlet.make_sharded_verlet_step(
+        PARAMS, CFG, spec, mesh)      # XLA stencils
+    init_p, step_p = shard_verlet.make_sharded_verlet_step(
+        PARAMS, CFG, spec, mesh,
+        stencils=pallas_solver.make_stencils(spec.local_grid, interpret=True))
+
+    # sideways kick so the run crosses cell (rebin) and slab (migration)
+    # boundaries — the full production step, not just the stencils
+    state = init_grid(16, 16, 0.04)
+    state = state.replace(vx=jnp.full((state.n,), 3.0))
+
+    a = init_x(shard.shard_state(state, spec))
+    b = init_p(shard.shard_state(state, spec))
+    for _ in range(STEPS):
+        a = step_x(a)
+        b = step_p(b)
+        # low-core hosts: one multi-device execution in flight at a time
+        jax.block_until_ready((a.xd, b.xd))
+    return spec, state, a, b
+
+
+def test_pallas_verlet_sharded_matches_xla(runs):
+    spec, state, a, b = runs
+    assert int(a.overflow.max()) == int(b.overflow.max()) == 0
+    assert int(a.dropped.sum()) == int(b.dropped.sum()) == 0
+    assert int(jnp.sum(a.alive)) == int(jnp.sum(b.alive)) == state.n
+
+    va = shard_verlet.extract_state(a, spec, PARAMS)
+    vb = shard_verlet.extract_state(b, spec, PARAMS)
+    la, lb = np.asarray(a.alive), np.asarray(b.alive)
+
+    from scipy.spatial import cKDTree
+    pa = np.stack([np.asarray(va.x)[la], np.asarray(va.y)[la]], -1)
+    pb = np.stack([np.asarray(vb.x)[lb], np.asarray(vb.y)[lb]], -1)
+    dist, j = cKDTree(pb).query(pa, k=1)
+    assert dist.max() <= 1e-4, f"kernel-backend position gap {dist.max():.2e}"
+    rho_a = np.asarray(va.rho)[la]
+    rho_b = np.asarray(vb.rho)[lb][j]
+    assert (np.abs(rho_a - rho_b)
+            / np.maximum(rho_b, 1e-6)).max() <= 1e-4
+
+
+def test_production_path_migrated_and_rebinned(runs):
+    _, _, a, b = runs
+    # the run must have exercised the collective machinery, not idled
+    assert int(a.rebin_count.max()) > 1
+    assert int(b.rebin_count.max()) > 1

@@ -35,3 +35,38 @@ def test_facade_checkpoint(tmp_path):
     sim.run(5)
     sim.load(path)
     np.testing.assert_array_equal(np.asarray(sim.state.x), x_saved)
+
+
+def test_load_restores_physics(tmp_path):
+    # resuming a checkpoint saved under different physics must simulate the
+    # CHECKPOINT's physics, not the constructor's (VERDICT r1 item 8)
+    from bevy_gpu_fluid_tpu import FluidParams, IntegrateConfig
+
+    sim = Simulation.dam_break(n=256, solver="xla")
+    sim.run(10)
+    path = str(tmp_path / "demo_physics")      # extension-less on purpose
+    sim.save(path)
+
+    stiff = FluidParams.create(h=0.045, rho_0=1000.0, k=9.0, mu=0.4, m=1.6)
+    slow = IntegrateConfig.create(dt=0.001)
+    other = Simulation(sim.state, stiff, slow, sim.grid, solver="xla")
+    other.load(path)
+    assert float(other.params.k) == 3.0
+    np.testing.assert_allclose(float(other.cfg.dt), 0.0005, rtol=1e-6)
+
+    # the rebuilt closure really integrates with the loaded constants
+    truth = Simulation(sim.state, sim.params, sim.cfg, sim.grid, solver="xla")
+    a = other.run(10)
+    b = truth.run(10)
+    np.testing.assert_allclose(np.asarray(a.x), np.asarray(b.x), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(a.vx), np.asarray(b.vx), atol=1e-6)
+
+
+def test_periodic_validator_fires():
+    # opt-in runtime spot check (readback_and_compare analog)
+    sim = Simulation.dam_break(n=256, solver="xla", validate_every=30)
+    sim.run(20)
+    assert sim.last_parity is None      # below the period: no check yet
+    sim.run(20)
+    assert sim.last_parity is not None  # fired at >=30 accumulated steps
+    assert sim.last_parity.rho_max_rel <= 0.01
