@@ -16,6 +16,15 @@ IDENTICAL to rebinning every step (up to f32 summation order).
 Between rebins a step costs: 2 stencil kernels + dense elementwise
 integrate + a displacement reduction.  No sorts, no scatters, no gathers.
 
+Round-2 upgrade: the rebin itself is now ALSO sort/scatter/gather-free.
+The same skin bound that freezes the window means a particle's true cell at
+rebin time is within +-1 of its slot cell, so rebinning is local: the
+``ops/reslot.py`` kernel re-collects each cell's occupants from its 3x3 slot
+neighbourhood with pure VPU select-accumulate (~1 ms at 1M vs ~48 ms for the
+sorting path).  Particle identity rides in a dense int32 index field; the
+per-particle FluidState is materialized only on demand (one dense->[N]
+scatter at multi_step exit), never per step.
+
 The reference has no analog — it rebuilt the full grid (GPU 8-pass +
 CPU CSR) every frame (reference: src/gpu/buffers.rs:291-298,
 assets/shaders/grid_build.wgsl).
@@ -23,6 +32,13 @@ assets/shaders/grid_build.wgsl).
 Empty-slot handling: FAR slots must stay FAR through integration (otherwise
 the bounce box would clamp them onto the walls as phantom particles), so all
 dense integration is masked by x < FAR/2.
+
+Degradation semantics (see tests/test_overflow.py): particles beyond a
+cell's ``cap`` at a rebin lose their slot and stay dead — they surface as
+FAR positions in extracted states and are counted (cumulatively) in
+``overflow``.  ``lost`` counts particles missed by the +-1 reslot window,
+which is impossible while the skin invariant holds; it exists so a violation
+would be loudly visible rather than silent.
 """
 
 from __future__ import annotations
@@ -35,14 +51,15 @@ import jax.numpy as jnp
 
 from ..core.params import FluidParams, IntegrateConfig, GridSpec2D, GRAVITY_Y
 from ..core.state import FluidState
-from ..ops.binning import FAR, bin_particles, to_dense, gather_slots
+from ..ops.binning import FAR, bin_particles, to_dense
 from ..ops.kernels import eos_pressure
+from ..ops import reslot as reslot_ops
 from . import grid_solver, pallas_solver
 
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=("xd", "yd", "vxd", "vyd", "rho_d", "ref_xd", "ref_yd",
-                      "cx", "cy", "rank", "age", "overflow", "rebin_count",
+                      "idx_d", "age", "overflow", "lost", "rebin_count",
                       "step"),
          meta_fields=())
 @dataclasses.dataclass
@@ -54,9 +71,12 @@ class DenseSim:
                    same convention as the reference's stored rho (its step
                    runs density first, src/cpu/sph2d.rs:222-227)
     ref_xd/ref_yd: positions at the last rebin (for the skin trigger)
-    cx/cy/rank:    int32[N] frozen slot coords per particle (original order)
+    idx_d:         int32[ny_pad, cap, nx_pad] original particle index per
+                   slot (-1 = empty) — identity for on-demand extraction
     age:           int32 steps since last rebin
-    overflow:      int32 max cell-cap overflow seen at any rebin
+    overflow:      int32 cumulative particles dropped to cell capacity
+    lost:          int32 cumulative particles missed by the reslot window
+                   (0 by the skin invariant; a diagnostic, not a tolerance)
     rebin_count:   int32
     step:          int32
     """
@@ -68,11 +88,10 @@ class DenseSim:
     rho_d: jax.Array
     ref_xd: jax.Array
     ref_yd: jax.Array
-    cx: jax.Array
-    cy: jax.Array
-    rank: jax.Array
+    idx_d: jax.Array
     age: jax.Array
     overflow: jax.Array
+    lost: jax.Array
     rebin_count: jax.Array
     step: jax.Array
 
@@ -87,23 +106,41 @@ def _bin_now(x, y, vx, vy, grid: GridSpec2D, alive=None):
 
 
 def init_dense(state: FluidState, grid: GridSpec2D) -> DenseSim:
-    """Bin a particle state into the dense representation."""
+    """Bin a particle state into the dense representation (sort-based — runs
+    once per session; steady-state rebins use the local reslot kernel)."""
     b, xd, yd, vxd, vyd = _bin_now(state.x, state.y, state.vx, state.vy, grid)
+    idx = jnp.arange(state.n, dtype=jnp.int32)
+    idx_d = to_dense(b, idx, fill=-1)
     return DenseSim(xd=xd, yd=yd, vxd=vxd, vyd=vyd,
                     rho_d=jnp.zeros_like(xd), ref_xd=xd, ref_yd=yd,
-                    cx=b.cx, cy=b.cy, rank=b.rank,
-                    age=jnp.int32(0), overflow=b.overflow,
-                    rebin_count=jnp.int32(1), step=state.step)
+                    idx_d=idx_d, age=jnp.int32(0), overflow=b.overflow,
+                    lost=jnp.int32(0), rebin_count=jnp.int32(1),
+                    step=state.step)
 
 
-def _extract(sim: DenseSim, grid: GridSpec2D):
-    """Per-particle (x, y, vx, vy) via the frozen slot coords, one fused
-    gather.  Particles that overflowed cell capacity at a rebin have no slot
-    and come back as FAR — they stay dead (counted in sim.overflow; size
-    ``cap`` so this never fires)."""
-    return gather_slots(grid, sim.cx, sim.cy, sim.rank,
-                        [sim.xd, sim.yd, sim.vxd, sim.vyd],
-                        [FAR, FAR, 0.0, 0.0])
+def extract_fields(sim: DenseSim, grid: GridSpec2D, params: FluidParams,
+                   n: int):
+    """Per-particle (x, y, vx, vy, rho) in ORIGINAL order via one stacked
+    dense->[N] scatter (the only random-access op left in the solver; runs
+    on demand, not per step).  Dropped particles (no slot) come back as
+    FAR positions, zero velocity, and analytic self-density — they stay
+    dead (counted in sim.overflow)."""
+    def real(a):
+        return jax.lax.slice(
+            a, (grid.row0, 0, 1),
+            (grid.row0 + grid.ny, grid.cap, 1 + grid.nx)).reshape(-1)
+
+    idx = real(sim.idx_d)
+    vals = jnp.stack([real(sim.xd), real(sim.yd), real(sim.vxd),
+                      real(sim.vyd), real(sim.rho_d)], axis=-1)
+    safe = jnp.where(idx >= 0, idx, n + (1 << 20))
+    h2 = params.h * params.h
+    self_rho = params.m * (4.0 / (jnp.pi * h2 ** 4)) * h2 ** 3
+    init = jnp.broadcast_to(
+        jnp.stack([jnp.float32(FAR), jnp.float32(FAR), jnp.float32(0.0),
+                   jnp.float32(0.0), self_rho]), (n, 5))
+    out = init.at[safe].set(vals, mode="drop")
+    return out[:, 0], out[:, 1], out[:, 2], out[:, 3], out[:, 4]
 
 
 def _skin(params: FluidParams, grid: GridSpec2D):
@@ -111,27 +148,33 @@ def _skin(params: FluidParams, grid: GridSpec2D):
 
 
 def make_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
-              stencils=None, max_age: int = 64):
+              stencils=None, max_age: int = 64, reslot=None):
     """Build the dense step fn: DenseSim -> DenseSim.
 
     Requires grid.cell_size > h (a real skin).  ``max_age`` bounds staleness
-    regardless of displacement (also refreshes the overflow diagnostic)."""
+    regardless of displacement.  ``reslot`` defaults to the Pallas local
+    rebin on TPU and the XLA rolled-view version elsewhere."""
     if stencils is None:
         stencils = pallas_solver.make_stencils(grid)
     density_fn, forces_fn = stencils
+    if reslot is None:
+        reslot = reslot_ops.make_reslot(
+            grid, use_pallas=not reslot_ops._interpret_default())
     # NB: requires grid.cell_size > h (a real skin, e.g. default_grid's 1.5h);
     # with zero skin every step would rebin and this is just a slower eager
     # solver. Not assertable here: params.h may be traced.
     skin_half = _skin(params, grid)
 
     def rebin(sim: DenseSim) -> DenseSim:
-        x, y, vx, vy = _extract(sim, grid)
-        b, xd, yd, vxd, vyd = _bin_now(x, y, vx, vy, grid,
-                                       alive=x < FAR * 0.5)
+        alive_before = jnp.sum(sim.xd < FAR * 0.5).astype(jnp.int32)
+        xd, yd, vxd, vyd, idx_d, cnt = reslot(
+            sim.xd, sim.yd, sim.vxd, sim.vyd, sim.idx_d)
+        matched = jnp.sum(cnt).astype(jnp.int32)
+        captured = jnp.sum(jnp.minimum(cnt, grid.cap)).astype(jnp.int32)
         return DenseSim(xd=xd, yd=yd, vxd=vxd, vyd=vyd, rho_d=sim.rho_d,
-                        ref_xd=xd, ref_yd=yd,
-                        cx=b.cx, cy=b.cy, rank=b.rank, age=jnp.int32(0),
-                        overflow=jnp.maximum(sim.overflow, b.overflow),
+                        ref_xd=xd, ref_yd=yd, idx_d=idx_d, age=jnp.int32(0),
+                        overflow=sim.overflow + (matched - captured),
+                        lost=sim.lost + (alive_before - matched),
                         rebin_count=sim.rebin_count + 1, step=sim.step)
 
     def step(sim: DenseSim) -> DenseSim:
@@ -188,25 +231,20 @@ def default_grid(params_h: float, x_min: float, x_max: float, y_max: float,
 
 def multi_step(state: FluidState, params: FluidParams, cfg: IntegrateConfig,
                grid: GridSpec2D, n_steps: int, stencils=None,
-               max_age: int = 64):
-    """n_steps with deferred rebinning; returns (FluidState, diag) where
-    diag carries max overflow and the number of rebins."""
-    stepf = make_step(params, cfg, grid, stencils, max_age)
+               max_age: int = 64, reslot=None):
+    """n_steps with deferred rebinning; returns (FluidState, diag, rebins)
+    where diag carries the cumulative dropped count (capacity overflow +
+    reslot losses, the latter structurally 0)."""
+    stepf = make_step(params, cfg, grid, stencils, max_age, reslot)
     sim = init_dense(state, grid)
+    n = state.n
 
     def body(s, _):
         return stepf(s), None
     sim, _ = jax.lax.scan(body, sim, None, length=n_steps)
 
-    x, y, vx, vy = _extract(sim, grid)
-    # per-particle density at the last step's pre-integrate positions (the
-    # reference's stored-rho convention; note the frozen slot coords are
-    # valid for rho_d too — rebinning happens before density in a step)
-    h2 = params.h * params.h
-    self_rho = params.m * (4.0 / (jnp.pi * h2 ** 4)) * h2 ** 3
-    (rho,) = gather_slots(grid, sim.cx, sim.cy, sim.rank, [sim.rho_d],
-                          [self_rho])
+    x, y, vx, vy, rho = extract_fields(sim, grid, params, n)
     out = state.replace(x=x, y=y, vx=vx, vy=vy, rho=rho,
                         p=eos_pressure(rho, params), step=sim.step)
-    diag = grid_solver.StepDiag(overflow=sim.overflow)
+    diag = grid_solver.StepDiag(overflow=sim.overflow + sim.lost)
     return out, diag, sim.rebin_count

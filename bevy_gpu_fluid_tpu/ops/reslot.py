@@ -1,0 +1,258 @@
+"""Dense local rebinning ("reslot"): sort-free Verlet-list rebuilds.
+
+The sort-based rebin (ops/binning.py) costs ~48 ms at 1M particles on a v5e
+chip — argsort + rank scatter (~15 ms) and four particle->dense scatters
+(~6 ms each) — because every element takes a random-access hop.  But between
+deferred rebins the Verlet skin bounds displacement to less than one cell:
+at rebin time every live particle's true cell is within +-1 of the cell of
+the slot it already occupies (skin_half + one step's v*dt << cell_size).  So
+the rebin is a LOCAL operation: each cell re-collects its occupants from its
+3x3 slot neighbourhood and compacts them into its cap slots, entirely with
+rolled dense views and select-accumulate — zero sorts, zero scatters, zero
+gathers, fully VPU-vectorized.  Measured at 1M: ~1 ms (Pallas) vs 48 ms.
+
+Mechanics, per target cell: enumerate the 72 candidate slots (3x3
+neighbour cells x cap) in a fixed order; a candidate MATCHES if it is live
+(non-FAR) and its position falls in the target cell (same clipped-cell
+convention as ops/binning.cell_coords, with the clip gated on liveness so
+the FAR sentinel can never clamp into a boundary cell).  A running per-cell
+match count assigns each matching candidate a rank; candidate values write
+into output slot k through the one-hot mask (rank == k), giving a
+deterministic within-cell order (candidate enumeration order).  Matches
+beyond cap are counted as overflow (dropped, same semantics as the sorting
+path); the per-cell counts come back so callers can also detect ``lost``
+particles (live slots captured by no cell — impossible while the skin
+invariant holds; surfaced as a diagnostic rather than assumed).
+
+The particle identity needed to restore original-order FluidStates rides
+along as a dense int32 index field (idx_d, -1 = empty), so the solver never
+maintains per-particle slot maps between rebins; extraction scatters
+dense -> [N] on demand (~2.5 ms at 1M, and only when a FluidState is
+actually requested).
+
+The reference has no analog of any of this — it rebuilt its grid from
+scratch every frame with an 8-pass atomic counting sort (reference:
+assets/shaders/grid_build.wgsl, src/gpu/grid_build.rs).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.params import GridSpec2D
+from .binning import FAR
+
+OFFSETS = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# XLA implementation (any backend; the CI reference)
+# ---------------------------------------------------------------------------
+
+def _cell_of(x, y, grid: GridSpec2D, live):
+    """Clipped cell coords of candidate positions, -9 for dead slots (the
+    clip alone would resurrect FAR into the boundary cells)."""
+    inv = 1.0 / grid.cell_size
+    cx = jnp.floor((x - grid.origin_x) * inv).astype(jnp.int32)
+    cy = jnp.floor((y - grid.origin_y) * inv).astype(jnp.int32)
+    cx = jnp.where(live, jnp.clip(cx, 0, grid.nx - 1), -9)
+    cy = jnp.where(live, jnp.clip(cy, 0, grid.ny - 1), -9)
+    return cx, cy
+
+
+def reslot_xla(xd, yd, vxd, vyd, idx_d, grid: GridSpec2D):
+    """Dense local rebin with plain XLA ops (rolled views).
+
+    Returns (xd, yd, vxd, vyd, idx_d, counts) where counts[y, x] is the
+    number of matching candidates per dense cell (cap overflow visible as
+    counts > cap)."""
+    cap = grid.cap
+    shape = xd.shape
+    # target cell coords per dense position: lane l -> cx = l-1,
+    # row r -> cy = r - row0 (ghosts get unreachable negatives/overlarge)
+    tgt_cx = (jnp.arange(shape[2], dtype=jnp.int32) - 1)[None, None, :]
+    tgt_cy = (jnp.arange(shape[0], dtype=jnp.int32) - grid.row0)[:, None,
+                                                                 None]
+    kiota = jnp.arange(cap, dtype=jnp.int32)[None, :, None]
+
+    out_x = jnp.full(shape, FAR, jnp.float32)
+    out_y = jnp.full(shape, FAR, jnp.float32)
+    out_vx = jnp.zeros(shape, jnp.float32)
+    out_vy = jnp.zeros(shape, jnp.float32)
+    out_i = jnp.full(shape, -1, jnp.int32)
+    cnt = jnp.zeros((shape[0], 1, shape[2]), jnp.int32)
+
+    for dy, dx in OFFSETS:
+        sx = jnp.roll(xd, (-dy, -dx), axis=(0, 2))
+        sy = jnp.roll(yd, (-dy, -dx), axis=(0, 2))
+        svx = jnp.roll(vxd, (-dy, -dx), axis=(0, 2))
+        svy = jnp.roll(vyd, (-dy, -dx), axis=(0, 2))
+        si = jnp.roll(idx_d, (-dy, -dx), axis=(0, 2))
+        for kj in range(cap):
+            cx_ = sx[:, kj:kj + 1, :]
+            cy_ = sy[:, kj:kj + 1, :]
+            live = cx_ < FAR * 0.5
+            ccx, ccy = _cell_of(cx_, cy_, grid, live)
+            match = (ccx == tgt_cx) & (ccy == tgt_cy)
+            sel = match & (cnt == kiota)          # one-hot over slot dim
+            out_x = jnp.where(sel, cx_, out_x)
+            out_y = jnp.where(sel, cy_, out_y)
+            out_vx = jnp.where(sel, svx[:, kj:kj + 1, :], out_vx)
+            out_vy = jnp.where(sel, svy[:, kj:kj + 1, :], out_vy)
+            out_i = jnp.where(sel, si[:, kj:kj + 1, :], out_i)
+            cnt = cnt + match.astype(jnp.int32)
+
+    return out_x, out_y, out_vx, out_vy, out_i, cnt[:, 0, :]
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel (same halo-DMA stencil shape as the solver kernels)
+# ---------------------------------------------------------------------------
+
+def _copy_slab(hbm_ref, scratch_ref, sem, row_start, rows):
+    return pltpu.make_async_copy(
+        hbm_ref.at[pl.ds(row_start, rows)], scratch_ref, sem)
+
+
+def _reslot_kernel(pr, x_hbm, y_hbm, vx_hbm, vy_hbm, i_hbm,
+                   ox_ref, oy_ref, ovx_ref, ovy_ref, oi_ref, cnt_ref,
+                   xs, ys, vxs, vys, is_, sems, *, tb, grid: GridSpec2D):
+    r = pl.program_id(0)
+    row_start = (r + 1) * tb - 1
+    copies = [
+        _copy_slab(x_hbm, xs, sems.at[0], row_start, tb + 2),
+        _copy_slab(y_hbm, ys, sems.at[1], row_start, tb + 2),
+        _copy_slab(vx_hbm, vxs, sems.at[2], row_start, tb + 2),
+        _copy_slab(vy_hbm, vys, sems.at[3], row_start, tb + 2),
+        _copy_slab(i_hbm, is_, sems.at[4], row_start, tb + 2),
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    inv = pr[0, 0]      # 1 / cell_size
+    ox = pr[0, 1]
+    oy = pr[0, 2]
+    cap = xs.shape[1]
+    nxp = xs.shape[2]
+
+    # target cell coords of this block's rows/lanes
+    tgt_cx = jax.lax.broadcasted_iota(jnp.int32, (tb, 1, nxp), 2) - 1
+    abs_row = (r + 1) * tb + jax.lax.broadcasted_iota(
+        jnp.int32, (tb, 1, nxp), 0)
+    tgt_cy = abs_row - grid.row0
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (1, cap, 1), 1)
+
+    out_x = jnp.full((tb, cap, nxp), FAR, jnp.float32)
+    out_y = jnp.full((tb, cap, nxp), FAR, jnp.float32)
+    out_vx = jnp.zeros((tb, cap, nxp), jnp.float32)
+    out_vy = jnp.zeros((tb, cap, nxp), jnp.float32)
+    out_i = jnp.full((tb, cap, nxp), -1, jnp.int32)
+    cnt = jnp.zeros((tb, 1, nxp), jnp.int32)
+
+    def shift(a, dy):
+        return jax.lax.slice_in_dim(a, 1 + dy, 1 + dy + tb, axis=0)
+
+    def roll(a, dx):
+        return a if dx == 0 else jnp.roll(a, -dx, axis=-1)
+
+    for dy in (-1, 0, 1):
+        tx = shift(xs[...], dy)
+        ty = shift(ys[...], dy)
+        tvx = shift(vxs[...], dy)
+        tvy = shift(vys[...], dy)
+        ti = shift(is_[...], dy)
+        for dx in (-1, 0, 1):
+            rx, ry = roll(tx, dx), roll(ty, dx)
+            rvx, rvy = roll(tvx, dx), roll(tvy, dx)
+            ri = roll(ti, dx)
+            for kj in range(cap):
+                cx_ = rx[:, kj:kj + 1, :]
+                cy_ = ry[:, kj:kj + 1, :]
+                live = cx_ < FAR * 0.5
+                ccx = jnp.floor((cx_ - ox) * inv).astype(jnp.int32)
+                ccy = jnp.floor((cy_ - oy) * inv).astype(jnp.int32)
+                ccx = jnp.where(live, jnp.clip(ccx, 0, grid.nx - 1), -9)
+                ccy = jnp.where(live, jnp.clip(ccy, 0, grid.ny - 1), -9)
+                match = (ccx == tgt_cx) & (ccy == tgt_cy)
+                sel = match & (cnt == kiota)
+                out_x = jnp.where(sel, cx_, out_x)
+                out_y = jnp.where(sel, cy_, out_y)
+                out_vx = jnp.where(sel, rvx[:, kj:kj + 1, :], out_vx)
+                out_vy = jnp.where(sel, rvy[:, kj:kj + 1, :], out_vy)
+                out_i = jnp.where(sel, ri[:, kj:kj + 1, :], out_i)
+                cnt = cnt + match.astype(jnp.int32)
+
+    ox_ref[...] = out_x
+    oy_ref[...] = out_y
+    ovx_ref[...] = out_vx
+    ovy_ref[...] = out_vy
+    oi_ref[...] = out_i
+    cnt_ref[...] = cnt[:, 0, :]
+
+
+def reslot_pallas(xd, yd, vxd, vyd, idx_d, grid: GridSpec2D,
+                  interpret: bool | None = None):
+    """Fused dense local rebin; same contract as reslot_xla."""
+    if interpret is None:
+        interpret = _interpret_default()
+    tb = grid.row_block
+    kernel = functools.partial(_reslot_kernel, tb=tb, grid=grid)
+    fshape = jax.ShapeDtypeStruct(xd.shape, jnp.float32)
+    ishape = jax.ShapeDtypeStruct(xd.shape, jnp.int32)
+    cshape = jax.ShapeDtypeStruct((xd.shape[0], xd.shape[2]), jnp.int32)
+    block = pl.BlockSpec((tb, grid.cap, grid.nx_pad), lambda r: (r + 1, 0, 0))
+    cblock = pl.BlockSpec((tb, grid.nx_pad), lambda r: (r + 1, 0))
+    slab_f = pltpu.VMEM((tb + 2, grid.cap, grid.nx_pad), jnp.float32)
+    slab_i = pltpu.VMEM((tb + 2, grid.cap, grid.nx_pad), jnp.int32)
+    params = jnp.stack([
+        1.0 / jnp.float32(grid.cell_size), jnp.float32(grid.origin_x),
+        jnp.float32(grid.origin_y), 0.0, 0.0, 0.0, 0.0, 0.0]).reshape(1, 8)
+    ox, oy, ovx, ovy, oi, cnt = pl.pallas_call(
+        kernel,
+        grid=(grid.n_row_blocks,),
+        in_specs=[pl.BlockSpec((1, 8), lambda r: (0, 0),
+                               memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 5,
+        out_specs=(block, block, block, block, block, cblock),
+        out_shape=(fshape, fshape, fshape, fshape, ishape, cshape),
+        scratch_shapes=[slab_f] * 4 + [slab_i]
+        + [pltpu.SemaphoreType.DMA((5,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(params, xd, yd, vxd, vyd, idx_d)
+
+    # The grid writes interior blocks only; the outer ghost blocks (first and
+    # last row_block rows) must still hold the empty-slot fills — solver
+    # reductions span the whole array, the next reslot reads them as
+    # candidates, and interpret mode would otherwise leave NaN there.
+    tb = grid.row_block
+
+    def fill(a, v):
+        return a.at[:tb].set(v).at[-tb:].set(v)
+    return (fill(ox, FAR), fill(oy, FAR), fill(ovx, 0.0), fill(ovy, 0.0),
+            fill(oi, -1), fill(cnt, 0))
+
+
+def make_reslot(grid: GridSpec2D, use_pallas: bool = True,
+                interpret: bool | None = None):
+    """Returns reslot(xd, yd, vxd, vyd, idx_d) ->
+    (xd, yd, vxd, vyd, idx_d, counts)."""
+    if use_pallas:
+        def fn(xd, yd, vxd, vyd, idx_d):
+            return reslot_pallas(xd, yd, vxd, vyd, idx_d, grid, interpret)
+    else:
+        def fn(xd, yd, vxd, vyd, idx_d):
+            return reslot_xla(xd, yd, vxd, vyd, idx_d, grid)
+    return fn
