@@ -41,7 +41,7 @@ NORTH_STAR = 10_000_000.0  # particle-steps/s/chip, BASELINE.json
 
 def bench_case(n_particles: int, n_steps: int, cap: int = 8,
                verbose: bool = False, solver: str = "verlet",
-               warmup_steps: int = 300) -> dict:
+               warmup_steps: int = 300, skin: float = 1.5) -> dict:
     """Time a fully dynamic dam-break run on the chosen solver.
 
     The scene is advanced ``warmup_steps`` first (untimed) so the timed
@@ -60,7 +60,7 @@ def bench_case(n_particles: int, n_steps: int, cap: int = 8,
     if solver == "verlet":
         grid = verlet_solver.default_grid(0.045, -1.0, extent + 1.0,
                                           y_max=extent * 1.1 + 1.0, cap=cap,
-                                          skin_factor=1.5)
+                                          skin_factor=skin)
         run = jax.jit(lambda s, k: verlet_solver.multi_step(
             s, params, cfg, grid, k)[:2], static_argnums=1)
     else:
@@ -134,6 +134,37 @@ def bench_fps(plan=(10_000, 5_041, 1_024), seconds: float = 3.0,
               f"191.3 @5k / 202.8 @1k)", file=sys.stderr)
 
 
+def bench_frames(n: int = 1_000_000, seconds: float = 10.0,
+                 substeps: int = 16, skin: float = 1.75) -> None:
+    """BASELINE config #4: 1M sim + on-TPU density-field raster streaming,
+    on the persistent dense Session (state never leaves the device; one
+    dispatch per frame)."""
+    import math as _m
+    side = int(_m.isqrt(n))
+    state = bgf.init_grid(side, side, 0.04)
+    extent = side * 0.04
+    cfg = bgf.IntegrateConfig.create(x_min=-1.0, x_max=extent + 1.0)
+    grid = verlet_solver.default_grid(0.045, -1.0, extent + 1.0,
+                                      y_max=extent * 1.1 + 1.0, cap=8,
+                                      skin_factor=skin)
+    sess = verlet_solver.Session(state, bgf.FluidParams.demo(), cfg, grid)
+    img = jax.block_until_ready(sess.run_frame(substeps))   # compile
+    frames = 0
+    t0 = time.time()
+    while time.time() - t0 < seconds:
+        img = sess.run_frame(substeps)
+        jax.block_until_ready(img)
+        frames += 1
+    dt = time.time() - t0
+    fps = frames / dt
+    rate = sess.n * substeps * fps
+    print(f"# config4: {sess.n} particles x {substeps} substeps + "
+          f"{img.shape[0]}x{img.shape[1]} on-TPU field raster/frame -> "
+          f"{dt / frames * 1e3:.1f} ms/frame ({fps:.1f} FPS), "
+          f"{rate / 1e6:.1f}M particle-steps/s incl. rendering, "
+          f"overflow={sess.overflow}", file=sys.stderr)
+
+
 def bench_golden_step(side: int = 70) -> None:
     """The reference's criterion bench (benches/step_benches.rs: step_4.9k,
     70x70 CPU step at 1.87 ms/step): golden-model step latency."""
@@ -158,10 +189,17 @@ def main() -> None:
     ap.add_argument("--solver", choices=["verlet", "pallas"],
                     default="verlet")
     ap.add_argument("--warmup-steps", type=int, default=300)
+    ap.add_argument("--skin", type=float, default=1.75,
+                    help="verlet skin factor (cell = skin*h); 1.75 is the "
+                         "measured optimum for the dam-break scenes with "
+                         "cap=8 (2.0 overflows capacity in compressed flow)")
     ap.add_argument("--sweep", action="store_true",
                     help="also run 10k/100k cases (reported to stderr)")
     ap.add_argument("--fps", action="store_true",
                     help="also run the reference's 3-case FPS table")
+    ap.add_argument("--frames", action="store_true",
+                    help="also run BASELINE config #4 (1M sim+render "
+                         "streaming on the persistent Session)")
     ap.add_argument("--golden", action="store_true",
                     help="also run the golden-model step-latency bench")
     args = ap.parse_args()
@@ -170,13 +208,17 @@ def main() -> None:
         bench_golden_step()
     if args.fps:
         bench_fps()
+    if args.frames:
+        bench_frames(skin=args.skin)
     if args.sweep:
         for n in (10_000, 100_000):
             bench_case(n, args.steps, cap=args.cap, verbose=True,
-                       solver=args.solver, warmup_steps=args.warmup_steps)
+                       solver=args.solver, warmup_steps=args.warmup_steps,
+                       skin=args.skin)
 
     r = bench_case(args.n, args.steps, cap=args.cap, verbose=True,
-                   solver=args.solver, warmup_steps=args.warmup_steps)
+                   solver=args.solver, warmup_steps=args.warmup_steps,
+                   skin=args.skin)
     print(json.dumps({
         "metric": f"particle_steps_per_sec_per_chip_{args.n // 1000}k",
         "value": round(r["rate"], 1),

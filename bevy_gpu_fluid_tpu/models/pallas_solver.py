@@ -20,6 +20,16 @@ Per program the pair loop is 3 row-shifts x 3 x-shifts x cap neighbour slots
 as the reference's per-thread 3x3 CSR walk, but with zero divergence and zero
 irregular memory access.
 
+Occupancy-adaptive slot loops (default): mean cell occupancy in the demo
+scenes is ~2.9-5 of cap=8, so most j-slot iterations would process empty FAR
+slots.  A per-row-block max-occupancy (the window max over the block's rows
+plus halo, conservatively whole neighbouring blocks) is scalar-prefetched
+into SMEM and bounds the kj loop via ``fori_loop`` with dynamic sublane ref
+reads — empty iterations are never issued (measured ~1.5-1.6x on both
+kernels at 1M).  Results on live slots are identical up to f32 summation
+order (the loop nest order changes from dy,dx,kj to dy,kj,dx); empty slots
+get exact zeros instead of benign garbage.
+
 The force kernel re-derives EOS pressure and reciprocal density from rho
 in-register (one pass per slab), so only five dense fields ever live in HBM
 (x, y, vx, vy, rho) — the reference's separate ``pressure_main`` pass
@@ -77,7 +87,8 @@ def _roll(a: jax.Array, dx: int) -> jax.Array:
     return a if dx == 0 else jnp.roll(a, -dx, axis=-1)
 
 
-def _density_kernel(pr, x_hbm, y_hbm, rho_ref, xs, ys, sems, *, tb):
+def _density_kernel(pr, occ, x_hbm, y_hbm, rho_ref, xs, ys, sems, *, tb,
+                    adaptive):
     r = pl.program_id(0)
     row_start = (r + 1) * tb - 1
     cx = _copy_slab(x_hbm, xs, sems.at[0], row_start, tb + 2)
@@ -91,31 +102,36 @@ def _density_kernel(pr, x_hbm, y_hbm, rho_ref, xs, ys, sems, *, tb):
     m = pr[0, 1]
     h2 = h * h
     cap = xs.shape[1]
+    kmax = occ[0, r] if adaptive else cap
 
     xi = _shift(xs[...], 0, tb)
     yi = _shift(ys[...], 0, tb)
 
     rho = jnp.zeros_like(xi)
     for dy in (-1, 0, 1):
-        tx = _shift(xs[...], dy, tb)
-        ty = _shift(ys[...], dy, tb)
-        for dx in (-1, 0, 1):
-            rx = _roll(tx, dx)
-            ry = _roll(ty, dx)
-            for kj in range(cap):
-                ddx = xi - rx[:, kj:kj + 1, :]
-                ddy = yi - ry[:, kj:kj + 1, :]
+        def body(kj, rho):
+            # dynamic sublane ref reads: one j slot of the shifted rows
+            xk = xs[pl.ds(1 + dy, tb), pl.ds(kj, 1), :]
+            yk = ys[pl.ds(1 + dy, tb), pl.ds(kj, 1), :]
+            for dx in (-1, 0, 1):
+                rx = _roll(xk, dx)
+                ry = _roll(yk, dx)
+                ddx = xi - rx
+                ddy = yi - ry
                 r2 = ddx * ddx + ddy * ddy
                 # max(h^2-r^2, 0) IS the range gate — no select needed
                 d = jnp.maximum(h2 - r2, 0.0)
                 rho = rho + d * d * d
+            return rho
+        rho = jax.lax.fori_loop(0, kmax, body, rho)
 
     # fold in the Poly6 normalization once: m * 4/(pi h^8)
     rho_ref[...] = rho * (m * 4.0 / (jnp.pi * (h2 * h2) * (h2 * h2)))
 
 
-def _forces_kernel(pr, x_hbm, y_hbm, vx_hbm, vy_hbm, rho_hbm,
-                   ax_ref, ay_ref, xs, ys, vxs, vys, rs, sems, *, tb):
+def _forces_kernel(pr, occ, x_hbm, y_hbm, vx_hbm, vy_hbm, rho_hbm,
+                   ax_ref, ay_ref, xs, ys, vxs, vys, ps, irs, sems, *, tb,
+                   adaptive):
     r = pl.program_id(0)
     row_start = (r + 1) * tb - 1
     copies = [
@@ -123,7 +139,7 @@ def _forces_kernel(pr, x_hbm, y_hbm, vx_hbm, vy_hbm, rho_hbm,
         _copy_slab(y_hbm, ys, sems.at[1], row_start, tb + 2),
         _copy_slab(vx_hbm, vxs, sems.at[2], row_start, tb + 2),
         _copy_slab(vy_hbm, vys, sems.at[3], row_start, tb + 2),
-        _copy_slab(rho_hbm, rs, sems.at[4], row_start, tb + 2),
+        _copy_slab(rho_hbm, ps, sems.at[4], row_start, tb + 2),
     ]
     for c in copies:
         c.start()
@@ -139,35 +155,39 @@ def _forces_kernel(pr, x_hbm, y_hbm, vx_hbm, vy_hbm, rho_hbm,
     h5 = (h2 * h2) * h
     spiky_c = -10.0 / (jnp.pi * h5)
     visc_c = 40.0 / (jnp.pi * h5)
+    cap = xs.shape[1]
+    kmax = occ[0, r] if adaptive else cap
 
-    # EOS + reciprocal once per slab (ghost-row garbage is gated by FAR)
-    rho_slab = rs[...]
-    p_slab = k * jnp.maximum(rho_slab - rho0, 0.0)
-    ir_slab = 1.0 / jnp.maximum(rho_slab, 1e-12)
+    # EOS + reciprocal once per slab, written back to VMEM scratch so the
+    # kj loop can read single slots dynamically (rho arrived in ps; ghost-row
+    # garbage is gated by FAR)
+    rho_slab = ps[...]
+    irs[...] = 1.0 / jnp.maximum(rho_slab, 1e-12)
+    ps[...] = k * jnp.maximum(rho_slab - rho0, 0.0)
 
     xi = _shift(xs[...], 0, tb)
     yi = _shift(ys[...], 0, tb)
     vxi = _shift(vxs[...], 0, tb)
     vyi = _shift(vys[...], 0, tb)
-    pi_ = _shift(p_slab, 0, tb)
-    cap = xi.shape[1]
+    pi_ = _shift(ps[...], 0, tb)
 
     ax = jnp.zeros_like(xi)
     ay = jnp.zeros_like(xi)
     for dy in (-1, 0, 1):
-        tx = _shift(xs[...], dy, tb)
-        ty = _shift(ys[...], dy, tb)
-        tvx = _shift(vxs[...], dy, tb)
-        tvy = _shift(vys[...], dy, tb)
-        tp = _shift(p_slab, dy, tb)
-        ti = _shift(ir_slab, dy, tb)
-        for dx in (-1, 0, 1):
-            rx, ry = _roll(tx, dx), _roll(ty, dx)
-            rvx, rvy = _roll(tvx, dx), _roll(tvy, dx)
-            rp, ri = _roll(tp, dx), _roll(ti, dx)
-            for kj in range(cap):
-                ddx = xi - rx[:, kj:kj + 1, :]
-                ddy = yi - ry[:, kj:kj + 1, :]
+        def body(kj, carry):
+            ax, ay = carry
+            xk = xs[pl.ds(1 + dy, tb), pl.ds(kj, 1), :]
+            yk = ys[pl.ds(1 + dy, tb), pl.ds(kj, 1), :]
+            vxk = vxs[pl.ds(1 + dy, tb), pl.ds(kj, 1), :]
+            vyk = vys[pl.ds(1 + dy, tb), pl.ds(kj, 1), :]
+            pk = ps[pl.ds(1 + dy, tb), pl.ds(kj, 1), :]
+            ik = irs[pl.ds(1 + dy, tb), pl.ds(kj, 1), :]
+            for dx in (-1, 0, 1):
+                rx, ry = _roll(xk, dx), _roll(yk, dx)
+                rvx, rvy = _roll(vxk, dx), _roll(vyk, dx)
+                rp, ri = _roll(pk, dx), _roll(ik, dx)
+                ddx = xi - rx
+                ddy = yi - ry
                 r2 = ddx * ddx + ddy * ddy
 
                 # Branch-free gating, no pair selects at all:
@@ -186,15 +206,15 @@ def _forces_kernel(pr, x_hbm, y_hbm, vx_hbm, vy_hbm, rho_hbm,
                 hr_n = jnp.where(near, hr, 0.0)
 
                 # a_p = -m (p_i+p_j)/(2 rho_j) * spiky_c*(h-r)^2 * r_hat
-                fac_p = (-m * 0.5) * (pi_ + rp[:, kj:kj + 1, :]) \
-                    * ri[:, kj:kj + 1, :] * (spiky_c * hr * hr * inv_r)
+                fac_p = (-m * 0.5) * (pi_ + rp) * ri \
+                    * (spiky_c * hr * hr * inv_r)
                 # a_v = mu m (v_j - v_i)/rho_j * visc_c*(h-r)
-                fac_v = (mu * m * visc_c) * ri[:, kj:kj + 1, :] * hr_n
+                fac_v = (mu * m * visc_c) * ri * hr_n
 
-                ax = ax + (fac_p * ddx
-                           + fac_v * (rvx[:, kj:kj + 1, :] - vxi))
-                ay = ay + (fac_p * ddy
-                           + fac_v * (rvy[:, kj:kj + 1, :] - vyi))
+                ax = ax + (fac_p * ddx + fac_v * (rvx - vxi))
+                ay = ay + (fac_p * ddy + fac_v * (rvy - vyi))
+            return ax, ay
+        ax, ay = jax.lax.fori_loop(0, kmax, body, (ax, ay))
     ax_ref[...] = ax
     ay_ref[...] = ay
 
@@ -209,18 +229,25 @@ def _slab(grid: GridSpec2D):
                       jnp.float32)
 
 
+from ..ops.reslot import block_kmax  # shared j-slot loop bound
+
+
 def density_pallas(xd, yd, params: FluidParams, grid: GridSpec2D,
-                   interpret: bool | None = None) -> jax.Array:
+                   interpret: bool | None = None,
+                   adaptive: bool = True) -> jax.Array:
     """Fused density stencil over the dense grid. Returns rho_d."""
     if interpret is None:
         interpret = _interpret_default()
     tb = grid.row_block
-    kernel = functools.partial(_density_kernel, tb=tb)
+    kernel = functools.partial(_density_kernel, tb=tb, adaptive=adaptive)
+    occ = block_kmax(xd, grid)
     return pl.pallas_call(
         kernel,
         grid=(grid.n_row_blocks,),
         in_specs=[
             pl.BlockSpec((1, 8), lambda r: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, grid.n_row_blocks), lambda r: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -233,41 +260,47 @@ def density_pallas(xd, yd, params: FluidParams, grid: GridSpec2D,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(_params_vec(params), xd, yd)
+    )(_params_vec(params), occ, xd, yd)
 
 
 def forces_pallas(xd, yd, vxd, vyd, rho_d, params: FluidParams,
-                  grid: GridSpec2D, interpret: bool | None = None):
+                  grid: GridSpec2D, interpret: bool | None = None,
+                  adaptive: bool = True):
     """Fused pressure+viscosity acceleration over the dense grid (EOS and
     1/rho derived in-kernel). Returns (ax_d, ay_d)."""
     if interpret is None:
         interpret = _interpret_default()
     tb = grid.row_block
-    kernel = functools.partial(_forces_kernel, tb=tb)
+    kernel = functools.partial(_forces_kernel, tb=tb, adaptive=adaptive)
+    occ = block_kmax(xd, grid)
     out = jax.ShapeDtypeStruct(xd.shape, jnp.float32)
     block = pl.BlockSpec((tb, grid.cap, grid.nx_pad), lambda r: (r + 1, 0, 0))
     return pl.pallas_call(
         kernel,
         grid=(grid.n_row_blocks,),
         in_specs=[pl.BlockSpec((1, 8), lambda r: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, grid.n_row_blocks), lambda r: (0, 0),
                                memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pl.ANY)] * 5,
         out_specs=(block, block),
         out_shape=(out, out),
-        scratch_shapes=[_slab(grid)] * 5 + [pltpu.SemaphoreType.DMA((5,))],
+        scratch_shapes=[_slab(grid)] * 6 + [pltpu.SemaphoreType.DMA((5,))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(_params_vec(params), xd, yd, vxd, vyd, rho_d)
+    )(_params_vec(params), occ, xd, yd, vxd, vyd, rho_d)
 
 
-def make_stencils(grid: GridSpec2D, interpret: bool | None = None):
+def make_stencils(grid: GridSpec2D, interpret: bool | None = None,
+                  adaptive: bool = True):
     """Stencil pair pluggable into grid_solver's step glue."""
     def density_fn(xd, yd, params):
-        return density_pallas(xd, yd, params, grid, interpret)
+        return density_pallas(xd, yd, params, grid, interpret, adaptive)
 
     def forces_fn(xd, yd, vxd, vyd, rho_d, params):
-        return forces_pallas(xd, yd, vxd, vyd, rho_d, params, grid, interpret)
+        return forces_pallas(xd, yd, vxd, vyd, rho_d, params, grid,
+                             interpret, adaptive)
     return density_fn, forces_fn
 
 

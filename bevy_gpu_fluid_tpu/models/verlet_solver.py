@@ -248,3 +248,85 @@ def multi_step(state: FluidState, params: FluidParams, cfg: IntegrateConfig,
                         p=eos_pressure(rho, params), step=sim.step)
     diag = grid_solver.StepDiag(overflow=sim.overflow + sim.lost)
     return out, diag, sim.rebin_count
+
+
+class Session:
+    """Persistent dense-resident run: step/render without per-call rebinning.
+
+    ``multi_step`` re-bins from scratch and extracts per call (fixed ~25 ms
+    at 1M) — fine for batch runs, wasteful for frame streaming.  A Session
+    holds the DenseSim across calls: ``run(k)`` advances k steps in one
+    dispatch, ``run_frame``/``frame`` rasterize the density field STRAIGHT
+    from the dense state (zero per-particle data movement), and ``state()``
+    materializes a FluidState only when actually asked.
+
+    This is the engine behind BASELINE config #4 (1M sim + on-TPU render
+    streaming) and the analog of the reference's persistent GPU buffers
+    (reference: src/gpu/buffers.rs ParticleBuffers — seeded once, stepped
+    in place)."""
+
+    def __init__(self, state: FluidState, params: FluidParams,
+                 cfg: IntegrateConfig, grid: GridSpec2D, stencils=None,
+                 max_age: int = 64, reslot=None):
+        from ..render import raster
+
+        self.params = params
+        self.cfg = cfg
+        self.grid = grid
+        self.n = state.n
+        stepf = make_step(params, cfg, grid, stencils, max_age, reslot)
+
+        @partial(jax.jit, static_argnums=1)
+        def run_k(sim, k):
+            return jax.lax.scan(lambda s, _: (stepf(s), None), sim, None,
+                                length=k)[0]
+
+        @partial(jax.jit, static_argnums=(1, 2, 3))
+        def run_frame(sim, k, ppc, mode):
+            sim = jax.lax.scan(lambda s, _: (stepf(s), None), sim, None,
+                               length=k)[0]
+            img = raster.field_render(sim.xd, sim.yd, params, grid,
+                                      px_per_cell=ppc, mode=mode)
+            return sim, raster.to_rgb8(img)
+
+        @partial(jax.jit, static_argnums=(1, 2))
+        def frame_only(sim, ppc, mode):
+            img = raster.field_render(sim.xd, sim.yd, params, grid,
+                                      px_per_cell=ppc, mode=mode)
+            return raster.to_rgb8(img)
+
+        self._run_k = run_k
+        self._run_frame = run_frame
+        self._frame = frame_only
+        self._extract = jax.jit(
+            lambda sim: extract_fields(sim, grid, params, self.n))
+        self.sim = jax.jit(lambda s: init_dense(s, grid))(state)
+
+    def run(self, n_steps: int) -> None:
+        """Advance n_steps on-device (one compiled dispatch)."""
+        self.sim = self._run_k(self.sim, n_steps)
+
+    def run_frame(self, substeps: int = 16, px_per_cell: int = 2,
+                  mode: str = "density"):
+        """substeps + field raster in ONE jitted dispatch (the production
+        frame loop; dispatch latency is the FPS ceiling on tunneled rigs).
+        Returns the uint8 RGB frame."""
+        self.sim, img = self._run_frame(self.sim, substeps, px_per_cell,
+                                        mode)
+        return img
+
+    def frame(self, px_per_cell: int = 2, mode: str = "density"):
+        """uint8 RGB frame of the resident state (no stepping)."""
+        return self._frame(self.sim, px_per_cell, mode)
+
+    def state(self) -> FluidState:
+        """Materialize the per-particle FluidState (on demand only)."""
+        x, y, vx, vy, rho = self._extract(self.sim)
+        return FluidState(
+            x=x, y=y, vx=vx, vy=vy,
+            ax=jnp.zeros_like(x), ay=jnp.zeros_like(x),
+            rho=rho, p=eos_pressure(rho, self.params), step=self.sim.step)
+
+    @property
+    def overflow(self) -> int:
+        return int(self.sim.overflow + self.sim.lost)
