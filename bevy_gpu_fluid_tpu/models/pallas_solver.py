@@ -102,7 +102,6 @@ def _density_kernel(pr, occ, x_hbm, y_hbm, rho_ref, xs, ys, sems, *, tb,
     m = pr[0, 1]
     h2 = h * h
     cap = xs.shape[1]
-    kmax = occ[0, r] if adaptive else cap
 
     xi = _shift(xs[...], 0, tb)
     yi = _shift(ys[...], 0, tb)
@@ -123,6 +122,7 @@ def _density_kernel(pr, occ, x_hbm, y_hbm, rho_ref, xs, ys, sems, *, tb,
                 d = jnp.maximum(h2 - r2, 0.0)
                 rho = rho + d * d * d
             return rho
+        kmax = occ[1 + dy, r] if adaptive else cap
         rho = jax.lax.fori_loop(0, kmax, body, rho)
 
     # fold in the Poly6 normalization once: m * 4/(pi h^8)
@@ -156,7 +156,6 @@ def _forces_kernel(pr, occ, x_hbm, y_hbm, vx_hbm, vy_hbm, rho_hbm,
     spiky_c = -10.0 / (jnp.pi * h5)
     visc_c = 40.0 / (jnp.pi * h5)
     cap = xs.shape[1]
-    kmax = occ[0, r] if adaptive else cap
 
     # EOS + reciprocal once per slab, written back to VMEM scratch so the
     # kj loop can read single slots dynamically (rho arrived in ps; ghost-row
@@ -190,30 +189,34 @@ def _forces_kernel(pr, occ, x_hbm, y_hbm, vx_hbm, vy_hbm, rho_hbm,
                 ddy = yi - ry
                 r2 = ddx * ddx + ddy * ddy
 
-                # Branch-free gating, no pair selects at all:
-                # * max(h - r, 0) is the r < h gate (both kernel factors),
-                # * inv_r = 0 below EPS zeroes a_p there (matching the
-                #   spiky kernel's r > 0 check), and a_v at r ~ 0 dies on
-                #   (v_j - v_i) = 0 for the self pair / the near mask for
-                #   distinct coincident pairs,
-                # * the j == i self pair therefore contributes exactly 0 —
-                #   no slot-identity exclusion needed.
-                near = r2 >= _EPS * _EPS
-                inv_r = jnp.where(near, jax.lax.rsqrt(
-                    jnp.where(near, r2, 1.0)), 0.0)
+                # Fully branch-free gating — zero compares/selects:
+                # * inv_r = rsqrt(r2 + EPS^2) is finite everywhere; for
+                #   r >> EPS it equals 1/r to ~EPS^2/r^2 (1e-9 relative at
+                #   interaction range, far below f32 resolution),
+                # * dist = r2 * inv_r <= r, so max(h - dist, 0) is the
+                #   r < h gate (both kernel factors; FAR slots give 0),
+                # * the j == i self pair contributes exactly 0: ddx = ddy
+                #   = 0 kills a_p, v_j - v_i = 0 kills a_v — no
+                #   slot-identity exclusion needed.
+                # Known deviation from the golden gate (r >= EPS): two
+                # DISTINCT particles closer than 1e-6 would feel full
+                # viscosity and an O(EPS)-damped pressure push instead of
+                # zero force — a measure-zero configuration no sane scene
+                # reaches (the EOS repels at r << h long before).
+                inv_r = jax.lax.rsqrt(r2 + _EPS * _EPS)
                 dist = r2 * inv_r
                 hr = jnp.maximum(h - dist, 0.0)
-                hr_n = jnp.where(near, hr, 0.0)
 
                 # a_p = -m (p_i+p_j)/(2 rho_j) * spiky_c*(h-r)^2 * r_hat
                 fac_p = (-m * 0.5) * (pi_ + rp) * ri \
                     * (spiky_c * hr * hr * inv_r)
                 # a_v = mu m (v_j - v_i)/rho_j * visc_c*(h-r)
-                fac_v = (mu * m * visc_c) * ri * hr_n
+                fac_v = (mu * m * visc_c) * ri * hr
 
                 ax = ax + (fac_p * ddx + fac_v * (rvx - vxi))
                 ay = ay + (fac_p * ddy + fac_v * (rvy - vyi))
             return ax, ay
+        kmax = occ[1 + dy, r] if adaptive else cap
         ax, ay = jax.lax.fori_loop(0, kmax, body, (ax, ay))
     ax_ref[...] = ax
     ay_ref[...] = ay
@@ -229,7 +232,7 @@ def _slab(grid: GridSpec2D):
                       jnp.float32)
 
 
-from ..ops.reslot import block_kmax  # shared j-slot loop bound
+from ..ops.reslot import block_kmax3  # shared per-dy j-slot loop bounds
 
 
 def density_pallas(xd, yd, params: FluidParams, grid: GridSpec2D,
@@ -240,14 +243,14 @@ def density_pallas(xd, yd, params: FluidParams, grid: GridSpec2D,
         interpret = _interpret_default()
     tb = grid.row_block
     kernel = functools.partial(_density_kernel, tb=tb, adaptive=adaptive)
-    occ = block_kmax(xd, grid)
-    return pl.pallas_call(
+    occ = block_kmax3(xd, grid)
+    rho = pl.pallas_call(
         kernel,
         grid=(grid.n_row_blocks,),
         in_specs=[
             pl.BlockSpec((1, 8), lambda r: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, grid.n_row_blocks), lambda r: (0, 0),
+            pl.BlockSpec((3, grid.n_row_blocks), lambda r: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -261,6 +264,14 @@ def density_pallas(xd, yd, params: FluidParams, grid: GridSpec2D,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(_params_vec(params), occ, xd, yd)
+    # The grid writes interior blocks only, but the forces kernel's halo
+    # window READS rho at rows tb-1 and (nb+1)*tb..+1 — inside the outer
+    # ghost blocks this kernel never writes.  Position fields are
+    # FAR-filled there so the r < h gate kills those taps arithmetically,
+    # EXCEPT a NaN/Inf left in a recycled output buffer: NaN * 0 = NaN
+    # would poison adjacent real rows through p_j.  Pin the ghost blocks
+    # to zero (two tiny row-block writes) so garbage can never leak in.
+    return rho.at[:tb].set(0.0).at[-tb:].set(0.0)
 
 
 def forces_pallas(xd, yd, vxd, vyd, rho_d, params: FluidParams,
@@ -272,7 +283,7 @@ def forces_pallas(xd, yd, vxd, vyd, rho_d, params: FluidParams,
         interpret = _interpret_default()
     tb = grid.row_block
     kernel = functools.partial(_forces_kernel, tb=tb, adaptive=adaptive)
-    occ = block_kmax(xd, grid)
+    occ = block_kmax3(xd, grid)
     out = jax.ShapeDtypeStruct(xd.shape, jnp.float32)
     block = pl.BlockSpec((tb, grid.cap, grid.nx_pad), lambda r: (r + 1, 0, 0))
     return pl.pallas_call(
@@ -280,7 +291,7 @@ def forces_pallas(xd, yd, vxd, vyd, rho_d, params: FluidParams,
         grid=(grid.n_row_blocks,),
         in_specs=[pl.BlockSpec((1, 8), lambda r: (0, 0),
                                memory_space=pltpu.SMEM),
-                  pl.BlockSpec((1, grid.n_row_blocks), lambda r: (0, 0),
+                  pl.BlockSpec((3, grid.n_row_blocks), lambda r: (0, 0),
                                memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pl.ANY)] * 5,
         out_specs=(block, block),

@@ -54,22 +54,36 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def block_kmax(xd: jax.Array, grid: GridSpec2D) -> jax.Array:
-    """Per-row-block slot-loop bound [1, n_row_blocks]: the max occupied
-    slot index + 1 over the block's (TB+2)-row halo window, conservatively
-    widened to whole neighbouring blocks.  Occupancy is read off the FAR
-    sentinel, so this works for any dense position field and costs one fused
-    reduction (~0.04 ms at 1M).  Shared by the solver stencils and the
-    reslot kernel (all three bound their j-slot loops with it)."""
-    occ_row = jnp.max(
+def _occ_row(xd: jax.Array, grid: GridSpec2D) -> jax.Array:
+    """Max occupied slot index + 1 per cell row [ny_pad], read off the FAR
+    sentinel (works for any dense position field; one fused reduction,
+    ~0.04 ms at 1M)."""
+    return jnp.max(
         jnp.where(xd < FAR * 0.5,
                   jnp.arange(grid.cap, dtype=jnp.int32)[None, :, None] + 1,
-                  0), axis=(1, 2))                        # [ny_pad]
-    per_block = occ_row.reshape(-1, grid.row_block).max(axis=1)
+                  0), axis=(1, 2))
+
+
+def block_kmax3(xd: jax.Array, grid: GridSpec2D) -> jax.Array:
+    """Per-row-block, per-row-shift slot-loop bounds [3, n_row_blocks].
+
+    ``out[1 + dy, r]`` bounds the occupied slots of the j-rows a stencil
+    program r reads at row shift dy — the EXACT tb-row window
+    [(r+1)*tb + dy, (r+1)*tb + dy + tb), not whole neighbouring blocks — so
+    surface/boundary blocks whose sparse side sits in a different shift
+    don't pay the dense side's occupancy.  Shared by the solver stencils
+    and the reslot kernel (all three bound their per-dy kj loops with it)."""
+    occ_row = _occ_row(xd, grid)
+    tb = grid.row_block
     nb = grid.n_row_blocks
-    k = jnp.maximum(jnp.maximum(per_block[:nb], per_block[1:nb + 1]),
-                    per_block[2:nb + 2])
-    return k.astype(jnp.int32).reshape(1, nb)
+    pad = jnp.concatenate([occ_row,
+                           jnp.zeros((tb,), dtype=occ_row.dtype)])
+    # wmax[s] = max(occ_row[s : s + tb])
+    wmax = jnp.max(jnp.stack([pad[i:i + occ_row.shape[0]]
+                              for i in range(tb)]), axis=0)
+    starts = (jnp.arange(nb, dtype=jnp.int32) + 1) * tb
+    return jnp.stack([wmax[starts - 1], wmax[starts],
+                      wmax[starts + 1]]).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -166,7 +180,6 @@ def _reslot_kernel(pr, occ, x_hbm, y_hbm, vx_hbm, vy_hbm, i_hbm,
     oy = pr[0, 2]
     cap = xs.shape[1]
     nxp = xs.shape[2]
-    kmax = occ[0, r]    # occupancy bound: candidate slots beyond it are FAR
 
     # target cell coords of this block's rows/lanes
     tgt_cx = jax.lax.broadcasted_iota(jnp.int32, (tb, 1, nxp), 2) - 1
@@ -175,19 +188,22 @@ def _reslot_kernel(pr, occ, x_hbm, y_hbm, vx_hbm, vy_hbm, i_hbm,
     tgt_cy = abs_row - grid.row0
     kiota = jax.lax.broadcasted_iota(jnp.int32, (1, cap, 1), 1)
 
-    out_x = jnp.full((tb, cap, nxp), FAR, jnp.float32)
-    out_y = jnp.full((tb, cap, nxp), FAR, jnp.float32)
-    out_vx = jnp.zeros((tb, cap, nxp), jnp.float32)
-    out_vy = jnp.zeros((tb, cap, nxp), jnp.float32)
-    out_i = jnp.full((tb, cap, nxp), -1, jnp.int32)
+    # outputs accumulate IN the output refs (read-modify-write per
+    # iteration); only the small per-cell running count rides the fori
+    # carry — carrying six [tb, cap, nxp] arrays through fori_loop costs a
+    # VMEM copy per value per iteration and dominated the kernel
+    ox_ref[...] = jnp.full((tb, cap, nxp), FAR, jnp.float32)
+    oy_ref[...] = jnp.full((tb, cap, nxp), FAR, jnp.float32)
+    ovx_ref[...] = jnp.zeros((tb, cap, nxp), jnp.float32)
+    ovy_ref[...] = jnp.zeros((tb, cap, nxp), jnp.float32)
+    oi_ref[...] = jnp.full((tb, cap, nxp), -1, jnp.int32)
     cnt = jnp.zeros((tb, 1, nxp), jnp.int32)
 
     def roll(a, dx):
         return a if dx == 0 else jnp.roll(a, -dx, axis=-1)
 
     for dy in (-1, 0, 1):
-        def body(kj, carry):
-            out_x, out_y, out_vx, out_vy, out_i, cnt = carry
+        def body(kj, cnt):
             xk = xs[pl.ds(1 + dy, tb), pl.ds(kj, 1), :]
             yk = ys[pl.ds(1 + dy, tb), pl.ds(kj, 1), :]
             vxk = vxs[pl.ds(1 + dy, tb), pl.ds(kj, 1), :]
@@ -203,21 +219,15 @@ def _reslot_kernel(pr, occ, x_hbm, y_hbm, vx_hbm, vy_hbm, i_hbm,
                 ccy = jnp.where(live, jnp.clip(ccy, 0, grid.ny - 1), -9)
                 match = (ccx == tgt_cx) & (ccy == tgt_cy)
                 sel = match & (cnt == kiota)
-                out_x = jnp.where(sel, cx_, out_x)
-                out_y = jnp.where(sel, cy_, out_y)
-                out_vx = jnp.where(sel, roll(vxk, dx), out_vx)
-                out_vy = jnp.where(sel, roll(vyk, dx), out_vy)
-                out_i = jnp.where(sel, roll(ik, dx), out_i)
+                ox_ref[...] = jnp.where(sel, cx_, ox_ref[...])
+                oy_ref[...] = jnp.where(sel, cy_, oy_ref[...])
+                ovx_ref[...] = jnp.where(sel, roll(vxk, dx), ovx_ref[...])
+                ovy_ref[...] = jnp.where(sel, roll(vyk, dx), ovy_ref[...])
+                oi_ref[...] = jnp.where(sel, roll(ik, dx), oi_ref[...])
                 cnt = cnt + match.astype(jnp.int32)
-            return out_x, out_y, out_vx, out_vy, out_i, cnt
-        out_x, out_y, out_vx, out_vy, out_i, cnt = jax.lax.fori_loop(
-            0, kmax, body, (out_x, out_y, out_vx, out_vy, out_i, cnt))
+            return cnt
+        cnt = jax.lax.fori_loop(0, occ[1 + dy, r], body, cnt)
 
-    ox_ref[...] = out_x
-    oy_ref[...] = out_y
-    ovx_ref[...] = out_vx
-    ovy_ref[...] = out_vy
-    oi_ref[...] = out_i
     cnt_ref[...] = cnt[:, 0, :]
 
 
@@ -238,13 +248,13 @@ def reslot_pallas(xd, yd, vxd, vyd, idx_d, grid: GridSpec2D,
     params = jnp.stack([
         1.0 / jnp.float32(grid.cell_size), jnp.float32(grid.origin_x),
         jnp.float32(grid.origin_y), 0.0, 0.0, 0.0, 0.0, 0.0]).reshape(1, 8)
-    occ = block_kmax(xd, grid)
+    occ = block_kmax3(xd, grid)
     ox, oy, ovx, ovy, oi, cnt = pl.pallas_call(
         kernel,
         grid=(grid.n_row_blocks,),
         in_specs=[pl.BlockSpec((1, 8), lambda r: (0, 0),
                                memory_space=pltpu.SMEM),
-                  pl.BlockSpec((1, grid.n_row_blocks), lambda r: (0, 0),
+                  pl.BlockSpec((3, grid.n_row_blocks), lambda r: (0, 0),
                                memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pl.ANY)] * 5,
         out_specs=(block, block, block, block, block, cblock),

@@ -98,3 +98,32 @@ def test_single_step_fields_match(solver_step):
     assert float(jnp.max(jnp.abs(a.p - g.p))) < 0.05
     assert float(jnp.max(jnp.abs(a.ax - g.ax))) < 0.05
     assert float(jnp.max(jnp.abs(a.ay - g.ay))) < 0.05
+
+
+def test_density_ghost_rows_pinned_to_zero():
+    """The density kernel's grid writes interior blocks only, yet the
+    forces kernel's halo window reads rho one row into the outer ghost
+    blocks.  density_pallas must pin those blocks to zero — in interpret
+    mode unwritten output is NaN, so this test fails loudly if the fill is
+    ever dropped (a NaN/Inf there would poison adjacent real rows through
+    p_j despite the FAR position gate: NaN * 0 = NaN)."""
+    from bevy_gpu_fluid_tpu.ops.binning import FAR, bin_particles, to_dense
+
+    state, params = demo_block_5k()
+    b = bin_particles(state.x, state.y, GRID, with_csr=False)
+    xd = to_dense(b, state.x, fill=FAR)
+    yd = to_dense(b, state.y, fill=FAR)
+    rho_d = pallas_solver.density_pallas(xd, yd, params, GRID,
+                                         interpret=True)
+    tb = GRID.row_block
+    assert jnp.all(rho_d[:tb] == 0.0)
+    assert jnp.all(rho_d[-tb:] == 0.0)
+    assert bool(jnp.isfinite(rho_d).all())
+    # and the full step built on it stays finite
+    ax_d, ay_d = pallas_solver.forces_pallas(
+        xd, yd, to_dense(b, state.vx), to_dense(b, state.vy), rho_d,
+        params, GRID, interpret=True)
+    real = (slice(GRID.row0, GRID.row0 + GRID.ny), slice(None),
+            slice(1, 1 + GRID.nx))
+    assert bool(jnp.isfinite(ax_d[real]).all())
+    assert bool(jnp.isfinite(ay_d[real]).all())
