@@ -112,6 +112,37 @@ class Simulation:
                                             cap=cap)
         return Simulation(state, params, cfg, grid, solver=solver, **kw)
 
+    @staticmethod
+    def pool(n: int = 102_400, aspect: float = 16.0, solver: str = "verlet",
+             cap: int = 8, bounce: float = -0.5, **kw) -> "Simulation":
+        """Physically-sane production scene: a wide, shallow pool.
+
+        The reference's deep-column dam break scales badly past ~1M
+        particles: free-fall impact speeds exceed what its weak EOS (k=3)
+        can decelerate within h, and its default bounce=-3 INJECTS energy
+        on every wall contact (reference: src/cpu/sph2d.rs:199-220 —
+        velocity x3).  This preset is the recommended large-N scene:
+        aspect-ratio-wide block, dissipative bounce, box fitted with
+        splash margins.  See CLAUDE.md physics notes."""
+        rows = max(4, int(math.sqrt(n / aspect)))
+        cols = max(4, n // rows)
+        state = init_grid(cols, rows, 0.04)
+        params = FluidParams.demo()
+        width = cols * 0.04
+        height = rows * 0.04
+        cfg = IntegrateConfig.create(x_min=-0.5, x_max=width + 0.5,
+                                     bounce=bounce)
+        y_max = height * 3.0 + 0.5
+        from ..models import grid_solver, verlet_solver
+        if solver == "verlet":
+            grid = verlet_solver.default_grid(0.045, -0.5, width + 0.5,
+                                              y_max=y_max, cap=cap)
+        else:
+            grid = grid_solver.default_grid(0.045, -0.5, width + 0.5,
+                                            y_max=y_max, cap=cap)
+        return Simulation(state, params, cfg, grid, solver=solver,
+                          y_view_max=y_max, **kw)
+
     # ---- stepping / interaction / rendering -----------------------------
     def run(self, n_steps: int) -> FluidState:
         """Advance n_steps on-device (one compiled scan).
