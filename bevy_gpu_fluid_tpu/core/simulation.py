@@ -191,10 +191,9 @@ class Simulation:
                               with_csr=False)
             xd = to_dense(b, self.state.x, fill=FAR)
             yd = to_dense(b, self.state.y, fill=FAR)
-            img = raster.field_render(
+            return raster.field_frame(
                 xd, yd, self.params, self.grid, px_per_cell=2,
                 mode="const" if mode == "field_const" else "density")
-            return raster.to_rgb8(img)
         return self._frame(self.state, mode)
 
     def run_frame(self, substeps: int = 16, mode: str = "density"):

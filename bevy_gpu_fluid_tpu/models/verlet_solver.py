@@ -285,15 +285,13 @@ class Session:
         def run_frame(sim, k, ppc, mode):
             sim = jax.lax.scan(lambda s, _: (stepf(s), None), sim, None,
                                length=k)[0]
-            img = raster.field_render(sim.xd, sim.yd, params, grid,
-                                      px_per_cell=ppc, mode=mode)
-            return sim, raster.to_rgb8(img)
+            return sim, raster.field_frame(sim.xd, sim.yd, params, grid,
+                                           px_per_cell=ppc, mode=mode)
 
         @partial(jax.jit, static_argnums=(1, 2))
         def frame_only(sim, ppc, mode):
-            img = raster.field_render(sim.xd, sim.yd, params, grid,
+            return raster.field_frame(sim.xd, sim.yd, params, grid,
                                       px_per_cell=ppc, mode=mode)
-            return raster.to_rgb8(img)
 
         self._run_k = run_k
         self._run_frame = run_frame

@@ -53,3 +53,30 @@ def test_field_render_shape_and_support():
 
     cimg = np.asarray(raster.field_render(xd, yd, PARAMS, GRID, 2, "const"))
     np.testing.assert_allclose(cimg[wet][:, 1:], 1.0, atol=1e-6)  # cyan
+
+
+def test_field_pallas_matches_xla():
+    """The Pallas field kernel (production streaming renderer) reproduces
+    the XLA reference field up to f32 summation order, at both sampling
+    densities."""
+    state = init_grid(20, 20, 0.04)
+    xd, yd = _dense(state)
+    for P in (1, 2):
+        ref = raster.field_density(xd, yd, PARAMS, GRID, px_per_cell=P)
+        got = raster.field_density_pallas(xd, yd, PARAMS, GRID,
+                                          px_per_cell=P, interpret=True)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-2)
+
+
+def test_field_frame_matches_render_plus_rgb8():
+    """field_frame (planar uint8 streaming path) == to_rgb8(field_render)."""
+    state = init_grid(16, 16, 0.04)
+    xd, yd = _dense(state)
+    for mode in ("density", "const"):
+        a = np.asarray(raster.field_frame(xd, yd, PARAMS, GRID, 2, mode))
+        b = np.asarray(raster.to_rgb8(
+            raster.field_render(xd, yd, PARAMS, GRID, 2, mode)))
+        assert a.shape == b.shape and a.dtype == np.uint8
+        np.testing.assert_array_equal(a, b)
