@@ -200,6 +200,11 @@ def main() -> None:
     ap.add_argument("--frames", action="store_true",
                     help="also run BASELINE config #4 (1M sim+render "
                          "streaming on the persistent Session)")
+    ap.add_argument("--frames-skin", type=float, default=1.5,
+                    help="skin for the --frames case (default 1.5: the "
+                         "streaming window is 2000+ steps, where 1.75 "
+                         "accumulates capacity overflow in the deep-column "
+                         "scene)")
     ap.add_argument("--golden", action="store_true",
                     help="also run the golden-model step-latency bench")
     args = ap.parse_args()
@@ -209,7 +214,7 @@ def main() -> None:
     if args.fps:
         bench_fps()
     if args.frames:
-        bench_frames(skin=args.skin)
+        bench_frames(skin=args.frames_skin)
     if args.sweep:
         for n in (10_000, 100_000):
             bench_case(n, args.steps, cap=args.cap, verbose=True,

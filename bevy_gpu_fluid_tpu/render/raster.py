@@ -211,19 +211,20 @@ def field_density(xd: jax.Array, yd: jax.Array, params: FluidParams,
 #
 # Same arithmetic as ``field_density`` (identical up to f32 summation
 # order), but as a halo-DMA stencil kernel like the solver's: all P*P
-# subpixels of a cell ride the sublane dim, the j-slot loops are
-# occupancy-adaptive, and the unrolled 9*cap*P^2 XLA graph (minutes of cold
-# compile at 1M, 7.4 ms/frame) collapses to one kernel (~1 ms/frame).
+# subpixels of a cell ride the sublane dim and the j-slot loops are
+# occupancy-adaptive.  At 1M: 2.3 ms/frame vs 7.4 ms for the unrolled
+# 9*cap*P^2 XLA graph (both pay a long first compile; the persistent
+# cache makes it once per grid shape).
 
 
 def _field_kernel(pr, occ, x_hbm, y_hbm, out_ref, xs, ys, sems, *,
                   tb, P, grid):
     import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu  # noqa: F401
+
+    from ..models.pallas_solver import _copy_slab
 
     r = pl.program_id(0)
     row_start = (r + 1) * tb - 1
-    from ..models.pallas_solver import _copy_slab
     cx = _copy_slab(x_hbm, xs, sems.at[0], row_start, tb + 2)
     cy = _copy_slab(y_hbm, ys, sems.at[1], row_start, tb + 2)
     cx.start()
