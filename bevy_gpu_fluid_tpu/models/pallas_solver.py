@@ -22,13 +22,15 @@ irregular memory access.
 
 Occupancy-adaptive slot loops (default): mean cell occupancy in the demo
 scenes is ~2.9-5 of cap=8, so most j-slot iterations would process empty FAR
-slots.  A per-row-block max-occupancy (the window max over the block's rows
-plus halo, conservatively whole neighbouring blocks) is scalar-prefetched
-into SMEM and bounds the kj loop via ``fori_loop`` with dynamic sublane ref
-reads — empty iterations are never issued (measured ~1.5-1.6x on both
-kernels at 1M).  Results on live slots are identical up to f32 summation
-order (the loop nest order changes from dy,dx,kj to dy,kj,dx); empty slots
-get exact zeros instead of benign garbage.
+slots.  A per-row-block, per-row-shift max-occupancy (``block_kmax3``) is
+scalar-prefetched into SMEM and bounds the kj loop via ``fori_loop`` with
+dynamic sublane ref reads — empty iterations are never issued (measured
+~1.5-1.6x on both kernels at 1M).  The kj loop is OUTERMOST (nest order
+kj, dx, dy): one dynamic sublane read per field per j slot covering all
+(tb+2) rows, lane rolls shared across the three row shifts, and the row
+shifts themselves are leading-dim value slices, which are free.  Results
+on live slots are identical up to f32 summation order; empty slots get
+exact zeros instead of benign garbage.
 
 The force kernel re-derives EOS pressure and reciprocal density from rho
 in-register (one pass per slab), so only five dense fields ever live in HBM
@@ -106,24 +108,29 @@ def _density_kernel(pr, occ, x_hbm, y_hbm, rho_ref, xs, ys, sems, *, tb,
     xi = _shift(xs[...], 0, tb)
     yi = _shift(ys[...], 0, tb)
 
-    rho = jnp.zeros_like(xi)
-    for dy in (-1, 0, 1):
-        def body(kj, rho):
-            # dynamic sublane ref reads: one j slot of the shifted rows
-            xk = xs[pl.ds(1 + dy, tb), pl.ds(kj, 1), :]
-            yk = ys[pl.ds(1 + dy, tb), pl.ds(kj, 1), :]
-            for dx in (-1, 0, 1):
-                rx = _roll(xk, dx)
-                ry = _roll(yk, dx)
+    # kj OUTER: one dynamic sublane read per field per j slot (the full
+    # (tb+2)-row slot vector), rolls shared across the three row shifts —
+    # the dy views are leading-dim value slices, which are free.
+    kmax = jnp.maximum(jnp.maximum(occ[0, r], occ[1, r]),
+                       occ[2, r]) if adaptive else cap
+
+    def body(kj, rho):
+        xkf = xs[:, pl.ds(kj, 1), :]        # [tb+2, 1, nx]
+        ykf = ys[:, pl.ds(kj, 1), :]
+        for dx in (-1, 0, 1):
+            rxf = _roll(xkf, dx)
+            ryf = _roll(ykf, dx)
+            for dy in (-1, 0, 1):
+                rx = _shift(rxf, dy, tb)
+                ry = _shift(ryf, dy, tb)
                 ddx = xi - rx
                 ddy = yi - ry
                 r2 = ddx * ddx + ddy * ddy
                 # max(h^2-r^2, 0) IS the range gate — no select needed
                 d = jnp.maximum(h2 - r2, 0.0)
                 rho = rho + d * d * d
-            return rho
-        kmax = occ[1 + dy, r] if adaptive else cap
-        rho = jax.lax.fori_loop(0, kmax, body, rho)
+        return rho
+    rho = jax.lax.fori_loop(0, kmax, body, jnp.zeros_like(xi))
 
     # fold in the Poly6 normalization once: m * 4/(pi h^8)
     rho_ref[...] = rho * (m * 4.0 / (jnp.pi * (h2 * h2) * (h2 * h2)))
@@ -170,21 +177,28 @@ def _forces_kernel(pr, occ, x_hbm, y_hbm, vx_hbm, vy_hbm, rho_hbm,
     vyi = _shift(vys[...], 0, tb)
     pi_ = _shift(ps[...], 0, tb)
 
-    ax = jnp.zeros_like(xi)
-    ay = jnp.zeros_like(xi)
-    for dy in (-1, 0, 1):
-        def body(kj, carry):
-            ax, ay = carry
-            xk = xs[pl.ds(1 + dy, tb), pl.ds(kj, 1), :]
-            yk = ys[pl.ds(1 + dy, tb), pl.ds(kj, 1), :]
-            vxk = vxs[pl.ds(1 + dy, tb), pl.ds(kj, 1), :]
-            vyk = vys[pl.ds(1 + dy, tb), pl.ds(kj, 1), :]
-            pk = ps[pl.ds(1 + dy, tb), pl.ds(kj, 1), :]
-            ik = irs[pl.ds(1 + dy, tb), pl.ds(kj, 1), :]
-            for dx in (-1, 0, 1):
-                rx, ry = _roll(xk, dx), _roll(yk, dx)
-                rvx, rvy = _roll(vxk, dx), _roll(vyk, dx)
-                rp, ri = _roll(pk, dx), _roll(ik, dx)
+    # kj OUTER, like the density kernel: 6 dynamic sublane reads and 12
+    # lane rolls per j slot instead of 18 and 36 (dy views are free
+    # leading-dim slices).
+    kmax = jnp.maximum(jnp.maximum(occ[0, r], occ[1, r]),
+                       occ[2, r]) if adaptive else cap
+
+    def body(kj, carry):
+        ax, ay = carry
+        xkf = xs[:, pl.ds(kj, 1), :]
+        ykf = ys[:, pl.ds(kj, 1), :]
+        vxkf = vxs[:, pl.ds(kj, 1), :]
+        vykf = vys[:, pl.ds(kj, 1), :]
+        pkf = ps[:, pl.ds(kj, 1), :]
+        ikf = irs[:, pl.ds(kj, 1), :]
+        for dx in (-1, 0, 1):
+            rxf, ryf = _roll(xkf, dx), _roll(ykf, dx)
+            rvxf, rvyf = _roll(vxkf, dx), _roll(vykf, dx)
+            rpf, rif = _roll(pkf, dx), _roll(ikf, dx)
+            for dy in (-1, 0, 1):
+                rx, ry = _shift(rxf, dy, tb), _shift(ryf, dy, tb)
+                rvx, rvy = _shift(rvxf, dy, tb), _shift(rvyf, dy, tb)
+                rp, ri = _shift(rpf, dy, tb), _shift(rif, dy, tb)
                 ddx = xi - rx
                 ddy = yi - ry
                 r2 = ddx * ddx + ddy * ddy
@@ -215,9 +229,9 @@ def _forces_kernel(pr, occ, x_hbm, y_hbm, vx_hbm, vy_hbm, rho_hbm,
 
                 ax = ax + (fac_p * ddx + fac_v * (rvx - vxi))
                 ay = ay + (fac_p * ddy + fac_v * (rvy - vyi))
-            return ax, ay
-        kmax = occ[1 + dy, r] if adaptive else cap
-        ax, ay = jax.lax.fori_loop(0, kmax, body, (ax, ay))
+        return ax, ay
+    ax, ay = jax.lax.fori_loop(0, kmax, body,
+                               (jnp.zeros_like(xi), jnp.zeros_like(xi)))
     ax_ref[...] = ax
     ay_ref[...] = ay
 

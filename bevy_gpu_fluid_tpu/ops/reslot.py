@@ -106,7 +106,7 @@ def reslot_xla(xd, yd, vxd, vyd, idx_d, grid: GridSpec2D):
 
     Returns (xd, yd, vxd, vyd, idx_d, counts) where counts[y, x] is the
     number of matching candidates per dense cell (cap overflow visible as
-    counts > cap).  Candidate enumeration order is (dy, kj, dx) — the SAME
+    counts > cap).  Candidate enumeration order is (kj, dx, dy) — the SAME
     as the Pallas kernel, so the two produce identical slot assignments."""
     cap = grid.cap
     shape = xd.shape
@@ -124,9 +124,9 @@ def reslot_xla(xd, yd, vxd, vyd, idx_d, grid: GridSpec2D):
     out_i = jnp.full(shape, -1, jnp.int32)
     cnt = jnp.zeros((shape[0], 1, shape[2]), jnp.int32)
 
-    for dy in (-1, 0, 1):
-        for kj in range(cap):
-            for dx in (-1, 0, 1):
+    for kj in range(cap):
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
                 cx_ = jnp.roll(xd[:, kj:kj + 1, :], (-dy, -dx), (0, 2))
                 cy_ = jnp.roll(yd[:, kj:kj + 1, :], (-dy, -dx), (0, 2))
                 live = cx_ < FAR * 0.5
@@ -202,16 +202,28 @@ def _reslot_kernel(pr, occ, x_hbm, y_hbm, vx_hbm, vy_hbm, i_hbm,
     def roll(a, dx):
         return a if dx == 0 else jnp.roll(a, -dx, axis=-1)
 
-    for dy in (-1, 0, 1):
-        def body(kj, cnt):
-            xk = xs[pl.ds(1 + dy, tb), pl.ds(kj, 1), :]
-            yk = ys[pl.ds(1 + dy, tb), pl.ds(kj, 1), :]
-            vxk = vxs[pl.ds(1 + dy, tb), pl.ds(kj, 1), :]
-            vyk = vys[pl.ds(1 + dy, tb), pl.ds(kj, 1), :]
-            ik = is_[pl.ds(1 + dy, tb), pl.ds(kj, 1), :]
-            for dx in (-1, 0, 1):
-                cx_ = roll(xk, dx)
-                cy_ = roll(yk, dx)
+    def shift(a, dy):
+        # leading-dim (untiled) row view: free
+        return jax.lax.slice_in_dim(a, 1 + dy, 1 + dy + tb, axis=0)
+
+    # kj OUTER, (kj, dx, dy) candidate order — matches reslot_xla; one
+    # dynamic sublane read per field per j slot, rolls shared across the
+    # three row shifts
+    kmax = jnp.maximum(jnp.maximum(occ[0, r], occ[1, r]), occ[2, r])
+
+    def body(kj, cnt):
+        xkf = xs[:, pl.ds(kj, 1), :]
+        ykf = ys[:, pl.ds(kj, 1), :]
+        vxkf = vxs[:, pl.ds(kj, 1), :]
+        vykf = vys[:, pl.ds(kj, 1), :]
+        ikf = is_[:, pl.ds(kj, 1), :]
+        for dx in (-1, 0, 1):
+            rxf, ryf = roll(xkf, dx), roll(ykf, dx)
+            rvxf, rvyf = roll(vxkf, dx), roll(vykf, dx)
+            rif = roll(ikf, dx)
+            for dy in (-1, 0, 1):
+                cx_ = shift(rxf, dy)
+                cy_ = shift(ryf, dy)
                 live = cx_ < FAR * 0.5
                 ccx = jnp.floor((cx_ - ox) * inv).astype(jnp.int32)
                 ccy = jnp.floor((cy_ - oy) * inv).astype(jnp.int32)
@@ -221,12 +233,12 @@ def _reslot_kernel(pr, occ, x_hbm, y_hbm, vx_hbm, vy_hbm, i_hbm,
                 sel = match & (cnt == kiota)
                 ox_ref[...] = jnp.where(sel, cx_, ox_ref[...])
                 oy_ref[...] = jnp.where(sel, cy_, oy_ref[...])
-                ovx_ref[...] = jnp.where(sel, roll(vxk, dx), ovx_ref[...])
-                ovy_ref[...] = jnp.where(sel, roll(vyk, dx), ovy_ref[...])
-                oi_ref[...] = jnp.where(sel, roll(ik, dx), oi_ref[...])
+                ovx_ref[...] = jnp.where(sel, shift(rvxf, dy), ovx_ref[...])
+                ovy_ref[...] = jnp.where(sel, shift(rvyf, dy), ovy_ref[...])
+                oi_ref[...] = jnp.where(sel, shift(rif, dy), oi_ref[...])
                 cnt = cnt + match.astype(jnp.int32)
-            return cnt
-        cnt = jax.lax.fori_loop(0, occ[1 + dy, r], body, cnt)
+        return cnt
+    cnt = jax.lax.fori_loop(0, kmax, body, cnt)
 
     cnt_ref[...] = cnt[:, 0, :]
 

@@ -250,21 +250,26 @@ def _field_kernel(pr, occ, x_hbm, y_hbm, out_ref, xs, ys, sems, *,
         + ((r + 1) * tb + rowi - grid.row0).astype(jnp.float32) * cs \
         + ((sub // P).astype(jnp.float32) + 0.5) * (cs / P)
 
-    rho = jnp.zeros(shape, jnp.float32)
-    for dy in (-1, 0, 1):
-        def body(kj, rho):
-            xk = xs[pl.ds(1 + dy, tb), pl.ds(kj, 1), :]
-            yk = ys[pl.ds(1 + dy, tb), pl.ds(kj, 1), :]
-            for dx in (-1, 0, 1):
-                rx = xk if dx == 0 else jnp.roll(xk, -dx, axis=-1)
-                ry = yk if dx == 0 else jnp.roll(yk, -dx, axis=-1)
+    # kj outer, rolls shared across the free leading-dim row shifts — the
+    # same nest as the solver stencils (models/pallas_solver.py)
+    kmax = jnp.maximum(jnp.maximum(occ[0, r], occ[1, r]), occ[2, r])
+
+    def body(kj, rho):
+        xkf = xs[:, pl.ds(kj, 1), :]
+        ykf = ys[:, pl.ds(kj, 1), :]
+        for dx in (-1, 0, 1):
+            rxf = xkf if dx == 0 else jnp.roll(xkf, -dx, axis=-1)
+            ryf = ykf if dx == 0 else jnp.roll(ykf, -dx, axis=-1)
+            for dy in (-1, 0, 1):
+                rx = jax.lax.slice_in_dim(rxf, 1 + dy, 1 + dy + tb, axis=0)
+                ry = jax.lax.slice_in_dim(ryf, 1 + dy, 1 + dy + tb, axis=0)
                 ddx = px - rx
                 ddy = py - ry
                 r2 = ddx * ddx + ddy * ddy
                 d = jnp.maximum(h2 - r2, 0.0)
                 rho = rho + d * d * d
-            return rho
-        rho = jax.lax.fori_loop(0, occ[1 + dy, r], body, rho)
+        return rho
+    rho = jax.lax.fori_loop(0, kmax, body, jnp.zeros(shape, jnp.float32))
 
     out_ref[...] = rho * (m * 4.0 / (jnp.pi * (h2 * h2) * (h2 * h2)))
 
