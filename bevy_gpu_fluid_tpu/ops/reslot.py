@@ -90,24 +90,34 @@ def block_kmax3(xd: jax.Array, grid: GridSpec2D) -> jax.Array:
 # XLA implementation (any backend; the CI reference)
 # ---------------------------------------------------------------------------
 
-def _cell_of(x, y, grid: GridSpec2D, live):
+def _cell_of(x, y, grid: GridSpec2D, live, clip_lo, clip_hi, origin):
     """Clipped cell coords of candidate positions, -9 for dead slots (the
-    clip alone would resurrect FAR into the boundary cells)."""
+    clip alone would resurrect FAR into the boundary cells).  The x-clip
+    range is a parameter: single-chip uses [0, nx-1]; the sharded solver
+    widens to [-1, nx] so slab-exits are CAPTURED into the ghost columns
+    for migration instead of clamped into edge cells.  ``origin`` may be
+    traced (the sharded solver passes the per-device slab origin)."""
     inv = 1.0 / grid.cell_size
-    cx = jnp.floor((x - grid.origin_x) * inv).astype(jnp.int32)
-    cy = jnp.floor((y - grid.origin_y) * inv).astype(jnp.int32)
-    cx = jnp.where(live, jnp.clip(cx, 0, grid.nx - 1), -9)
+    ox, oy = origin
+    cx = jnp.floor((x - ox) * inv).astype(jnp.int32)
+    cy = jnp.floor((y - oy) * inv).astype(jnp.int32)
+    cx = jnp.where(live, jnp.clip(cx, clip_lo, clip_hi), -9)
     cy = jnp.where(live, jnp.clip(cy, 0, grid.ny - 1), -9)
     return cx, cy
 
 
-def reslot_xla(xd, yd, vxd, vyd, idx_d, grid: GridSpec2D):
+def reslot_xla(xd, yd, vxd, vyd, idx_d, grid: GridSpec2D,
+               clip_lo: int = 0, clip_hi: int | None = None, origin=None):
     """Dense local rebin with plain XLA ops (rolled views).
 
     Returns (xd, yd, vxd, vyd, idx_d, counts) where counts[y, x] is the
     number of matching candidates per dense cell (cap overflow visible as
     counts > cap).  Candidate enumeration order is (kj, dx, dy) — the SAME
     as the Pallas kernel, so the two produce identical slot assignments."""
+    if clip_hi is None:
+        clip_hi = grid.nx - 1
+    if origin is None:
+        origin = (grid.origin_x, grid.origin_y)
     cap = grid.cap
     shape = xd.shape
     # target cell coords per dense position: lane l -> cx = l-1,
@@ -130,7 +140,8 @@ def reslot_xla(xd, yd, vxd, vyd, idx_d, grid: GridSpec2D):
                 cx_ = jnp.roll(xd[:, kj:kj + 1, :], (-dy, -dx), (0, 2))
                 cy_ = jnp.roll(yd[:, kj:kj + 1, :], (-dy, -dx), (0, 2))
                 live = cx_ < FAR * 0.5
-                ccx, ccy = _cell_of(cx_, cy_, grid, live)
+                ccx, ccy = _cell_of(cx_, cy_, grid, live, clip_lo, clip_hi,
+                                    origin)
                 match = (ccx == tgt_cx) & (ccy == tgt_cy)
                 sel = match & (cnt == kiota)      # one-hot over slot dim
                 out_x = jnp.where(sel, cx_, out_x)
@@ -160,7 +171,8 @@ def _copy_slab(hbm_ref, scratch_ref, sem, row_start, rows):
 
 def _reslot_kernel(pr, occ, x_hbm, y_hbm, vx_hbm, vy_hbm, i_hbm,
                    ox_ref, oy_ref, ovx_ref, ovy_ref, oi_ref, cnt_ref,
-                   xs, ys, vxs, vys, is_, sems, *, tb, grid: GridSpec2D):
+                   xs, ys, vxs, vys, is_, sems, *, tb, grid: GridSpec2D,
+                   clip_lo: int, clip_hi: int):
     r = pl.program_id(0)
     row_start = (r + 1) * tb - 1
     copies = [
@@ -227,7 +239,7 @@ def _reslot_kernel(pr, occ, x_hbm, y_hbm, vx_hbm, vy_hbm, i_hbm,
                 live = cx_ < FAR * 0.5
                 ccx = jnp.floor((cx_ - ox) * inv).astype(jnp.int32)
                 ccy = jnp.floor((cy_ - oy) * inv).astype(jnp.int32)
-                ccx = jnp.where(live, jnp.clip(ccx, 0, grid.nx - 1), -9)
+                ccx = jnp.where(live, jnp.clip(ccx, clip_lo, clip_hi), -9)
                 ccy = jnp.where(live, jnp.clip(ccy, 0, grid.ny - 1), -9)
                 match = (ccx == tgt_cx) & (ccy == tgt_cy)
                 sel = match & (cnt == kiota)
@@ -244,12 +256,18 @@ def _reslot_kernel(pr, occ, x_hbm, y_hbm, vx_hbm, vy_hbm, i_hbm,
 
 
 def reslot_pallas(xd, yd, vxd, vyd, idx_d, grid: GridSpec2D,
-                  interpret: bool | None = None):
+                  interpret: bool | None = None,
+                  clip_lo: int = 0, clip_hi: int | None = None, origin=None):
     """Fused dense local rebin; same contract as reslot_xla."""
     if interpret is None:
         interpret = _interpret_default()
+    if clip_hi is None:
+        clip_hi = grid.nx - 1
+    if origin is None:
+        origin = (grid.origin_x, grid.origin_y)
     tb = grid.row_block
-    kernel = functools.partial(_reslot_kernel, tb=tb, grid=grid)
+    kernel = functools.partial(_reslot_kernel, tb=tb, grid=grid,
+                               clip_lo=clip_lo, clip_hi=clip_hi)
     fshape = jax.ShapeDtypeStruct(xd.shape, jnp.float32)
     ishape = jax.ShapeDtypeStruct(xd.shape, jnp.int32)
     cshape = jax.ShapeDtypeStruct((xd.shape[0], xd.shape[2]), jnp.int32)
@@ -258,8 +276,10 @@ def reslot_pallas(xd, yd, vxd, vyd, idx_d, grid: GridSpec2D,
     slab_f = pltpu.VMEM((tb + 2, grid.cap, grid.nx_pad), jnp.float32)
     slab_i = pltpu.VMEM((tb + 2, grid.cap, grid.nx_pad), jnp.int32)
     params = jnp.stack([
-        1.0 / jnp.float32(grid.cell_size), jnp.float32(grid.origin_x),
-        jnp.float32(grid.origin_y), 0.0, 0.0, 0.0, 0.0, 0.0]).reshape(1, 8)
+        1.0 / jnp.float32(grid.cell_size),
+        jnp.asarray(origin[0], jnp.float32),
+        jnp.asarray(origin[1], jnp.float32),
+        0.0, 0.0, 0.0, 0.0, 0.0]).reshape(1, 8)
     occ = block_kmax3(xd, grid)
     ox, oy, ovx, ovy, oi, cnt = pl.pallas_call(
         kernel,
@@ -291,13 +311,18 @@ def reslot_pallas(xd, yd, vxd, vyd, idx_d, grid: GridSpec2D,
 
 
 def make_reslot(grid: GridSpec2D, use_pallas: bool = True,
-                interpret: bool | None = None):
-    """Returns reslot(xd, yd, vxd, vyd, idx_d) ->
-    (xd, yd, vxd, vyd, idx_d, counts)."""
+                interpret: bool | None = None,
+                clip_lo: int = 0, clip_hi: int | None = None):
+    """Returns reslot(xd, yd, vxd, vyd, idx_d, origin=None) ->
+    (xd, yd, vxd, vyd, idx_d, counts).  ``origin`` overrides the grid's
+    world origin (traced OK — the sharded solver passes the per-device
+    slab origin)."""
     if use_pallas:
-        def fn(xd, yd, vxd, vyd, idx_d):
-            return reslot_pallas(xd, yd, vxd, vyd, idx_d, grid, interpret)
+        def fn(xd, yd, vxd, vyd, idx_d, origin=None):
+            return reslot_pallas(xd, yd, vxd, vyd, idx_d, grid, interpret,
+                                 clip_lo, clip_hi, origin)
     else:
-        def fn(xd, yd, vxd, vyd, idx_d):
-            return reslot_xla(xd, yd, vxd, vyd, idx_d, grid)
+        def fn(xd, yd, vxd, vyd, idx_d, origin=None):
+            return reslot_xla(xd, yd, vxd, vyd, idx_d, grid,
+                              clip_lo, clip_hi, origin)
     return fn

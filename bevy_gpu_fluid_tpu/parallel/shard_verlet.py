@@ -9,15 +9,30 @@ Combines the two fastest designs in the framework:
 
 Key observation: the two compose cleanly.  Between rebins, only the VALUES in
 the neighbour's edge column change, not the slot structure — so per-step ICI
-traffic is five ghost-column exchanges of [ny_pad, cap, 1] (a few hundred KB),
-and the expensive sort/scatter machinery plus particle migration run only at
-rebins.  A particle that physically crosses the slab boundary mid-interval
-stays in its frozen (near-edge) slots and keeps interacting correctly through
-the halo until the next rebin — the same skin bound that keeps the 3x3 window
-a superset of every r < h neighbourhood also bounds how far it can stray.
+traffic is five ghost-column exchanges of [ny_pad, cap, 1] (a few hundred KB)
+and a psum'd rebin trigger.
+
+The rebin itself is the same sort-free LOCAL reslot as the single-chip
+flagship (ops/reslot.py), extended with ghost-column capture for migration:
+the reslot's cell clip is widened to [-1, nx], so a particle that drifted off
+the slab lands in the ghost column of its exit side; those two columns are
+exchanged with the neighbours (one ppermute pair) and merged into the
+receiver's edge cells by a cap-bounded one-hot append.  No sorts, no
+scatters, no per-particle extraction anywhere on the step path — the old
+design (gather every particle, pack/exchange migrant buffers, re-sort the
+slab) cost ~40 ms per rebin at 1M where this costs ~2 ms.
 
 Rebinning must be COLLECTIVE (migration is an exchange), so the per-device
 skin trigger is psum-reduced and all devices take the rebin branch together.
+
+Per-particle identity is not tracked in the sharded path (the reference
+tracks none either); ``extract_state`` compacts live dense slots into
+per-device [capacity] buffers on demand, off the hot path.
+
+Edge devices merge their own outward ghost captures back into the adjacent
+real edge cell: the global bounce box clamps x into the domain, so a
+boundary-exact position that cells one past the slab is physically IN the
+edge cell, not an exit.
 """
 
 from __future__ import annotations
@@ -30,9 +45,10 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.params import FluidParams, IntegrateConfig, GRAVITY_Y
-from ..ops.binning import FAR, bin_particles, to_dense, gather_slots
+from ..ops.binning import FAR, bin_particles, to_dense
 from ..ops.kernels import eos_pressure
-from ..models import grid_solver, pallas_solver
+from ..ops import reslot as reslot_ops
+from ..models import grid_solver
 from . import shard as sh
 
 AXIS = sh.AXIS
@@ -40,14 +56,20 @@ AXIS = sh.AXIS
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=("xd", "yd", "vxd", "vyd", "rho_d", "ref_xd", "ref_yd",
-                      "cx", "cy", "rank", "alive", "age", "overflow",
-                      "dropped", "rebin_count", "step"),
+                      "alive", "age", "overflow", "lost", "dropped",
+                      "rebin_count", "step"),
          meta_fields=())
 @dataclasses.dataclass
 class ShardedDenseSim:
-    """Per-device dense state, all leaves with a leading [n_devices] axis
-    (sharded on it): dense fields [D, ny_pad, cap, nxl_pad], slot coords +
-    alive [D, capacity], scalars [D] (step: global scalar)."""
+    """Per-device dense-resident state, all leaves with a leading
+    [n_devices] axis (sharded on it): dense fields [D, ny_pad, cap,
+    nxl_pad]; int32 per-device counters [D]; step: global scalar.
+
+    alive:    live particles currently resident on the device
+    overflow: cumulative cell-capacity losses (reslot matches beyond cap)
+    lost:     cumulative reslot window misses (structurally 0 — diagnostic)
+    dropped:  cumulative migration losses (edge-cell merge beyond cap)
+    """
 
     xd: jax.Array
     yd: jax.Array
@@ -56,12 +78,10 @@ class ShardedDenseSim:
     rho_d: jax.Array
     ref_xd: jax.Array
     ref_yd: jax.Array
-    cx: jax.Array
-    cy: jax.Array
-    rank: jax.Array
     alive: jax.Array
     age: jax.Array
     overflow: jax.Array
+    lost: jax.Array
     dropped: jax.Array
     rebin_count: jax.Array
     step: jax.Array
@@ -69,7 +89,7 @@ class ShardedDenseSim:
 
 def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
                              spec: sh.ShardSpec, mesh: Mesh, stencils=None,
-                             max_age: int = 64):
+                             max_age: int = 64, reslot=None):
     """Returns (init_fn, step_fn):
     init_fn(ShardedState) -> ShardedDenseSim (jitted)
     step_fn(ShardedDenseSim) -> ShardedDenseSim (jitted)
@@ -77,11 +97,16 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
     Requires spec.local_grid.cell_size > params.h (build the spec with
     ``h * skin_factor``)."""
     g = spec.local_grid
-    D, M, E = spec.n_devices, spec.capacity, spec.mig_cap
+    D = spec.n_devices
     nxl = spec.nx_local
+    cap = g.cap
     if stencils is None:
         stencils = grid_solver.XLA_STENCILS
     density_fn, forces_fn = stencils
+    if reslot is None:
+        reslot = reslot_ops.make_reslot(
+            g, use_pallas=not reslot_ops._interpret_default(),
+            clip_lo=-1, clip_hi=g.nx)   # ghost-column capture for migration
     skin_half = (g.cell_size - params.h) * 0.5
 
     def origin_of(d):
@@ -100,45 +125,98 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
         vyd = to_dense(b, jnp.where(alive, vy, 0.0), fill=0.0)
         return b, xd, yd, vxd, vyd
 
-    def migrate(x, y, vx, vy, alive, dropped):
-        """Hand off-slab particles to neighbours (reuses shard.py's packing
-        protocol); returns the merged local set."""
+    def clear_ghost_cols(a, fill):
+        a = jax.lax.dynamic_update_slice_in_dim(
+            a, jnp.full(a.shape[:2] + (1,), fill, a.dtype), 0, axis=2)
+        return jax.lax.dynamic_update_slice_in_dim(
+            a, jnp.full(a.shape[:2] + (1,), fill, a.dtype), nxl + 1, axis=2)
+
+    def count_live(xd):
+        return jnp.sum(xd < FAR * 0.5).astype(jnp.int32)
+
+    def merge_col(fields, lane, src, base_cnt):
+        """Append src occupants ([4, ny_pad, cap]: x, y, vx, vy; FAR = dead)
+        into column ``lane`` of the dense fields at ranks continuing from
+        base_cnt.  Returns (fields, n_dropped_beyond_cap)."""
+        cols = [f[:, :, lane] for f in fields]          # [ny_pad, cap] each
+        acc = jnp.minimum(base_cnt, cap)                # [ny_pad]
+        kio = jnp.arange(cap, dtype=jnp.int32)[None, :]
+        drop = jnp.int32(0)
+        for k in range(cap):
+            live_k = src[0, :, k] < FAR * 0.5           # [ny_pad]
+            dest = jnp.where(live_k, acc, -1)
+            oh = dest[:, None] == kio                   # [ny_pad, cap]
+            cols = [jnp.where(oh, src[i, :, k][:, None], c)
+                    for i, c in enumerate(cols)]
+            drop = drop + jnp.sum(live_k & (acc >= cap)).astype(jnp.int32)
+            acc = acc + live_k
+        fields = [f.at[:, :, lane].set(c) for f, c in zip(fields, cols)]
+        return fields, drop
+
+    def collective_rebin(xd, yd, vxd, vyd, overflow, lost, dropped):
+        """Local reslot with ghost capture + one ppermute pair + edge-cell
+        merge.  Ghost columns must arrive holding NEIGHBOUR values (per-step
+        halo state) and leave cleared (FAR)."""
+        # neighbour-valued ghosts are the neighbour's real particles —
+        # clear them so the reslot can't duplicate them locally
+        xd = clear_ghost_cols(xd, FAR)
+        yd = clear_ghost_cols(yd, FAR)
+        vxd = clear_ghost_cols(vxd, 0.0)
+        vyd = clear_ghost_cols(vyd, 0.0)
+        alive_before = count_live(xd)
+
         d = jax.lax.axis_index(AXIS)
-        slab_lo, _ = origin_of(d)
-        slab_hi = slab_lo + spec.slab_width
-        go_left = alive & (x < slab_lo) & (d > 0)
-        go_right = alive & (x >= slab_hi) & (d < D - 1)
-        stay = alive & ~go_left & ~go_right
-        if D == 1:
-            return x, y, vx, vy, stay, dropped
+        dummy_idx = jnp.zeros(xd.shape, jnp.int32)
+        xd, yd, vxd, vyd, _, cnt = reslot(xd, yd, vxd, vyd, dummy_idx,
+                                          origin=origin_of(d))
+        matched = jnp.sum(cnt).astype(jnp.int32)
+        captured = jnp.sum(jnp.minimum(cnt, cap)).astype(jnp.int32)
+        overflow = overflow + (matched - captured)
+        lost = lost + (alive_before - matched)
 
-        fields = lambda: [(x, FAR), (y, FAR), (vx, 0.0), (vy, 0.0)]
-        pl_, okl, dl = sh._pack_migrants(fields(), go_left, E)
-        pr_, okr, dr = sh._pack_migrants(fields(), go_right, E)
-        dropped = dropped + dl + dr
+        # exits sit in the ghost columns now: lane 0 = cell -1 (left exit),
+        # lane nxl+1 = cell nxl (right exit)
+        def col(a, lane):
+            return jax.lax.slice_in_dim(a, lane, lane + 1, axis=2)[:, :, 0]
+        ex_l = jnp.stack([col(a, 0) for a in (xd, yd, vxd, vyd)])
+        ex_r = jnp.stack([col(a, nxl + 1) for a in (xd, yd, vxd, vyd)])
+        xd = clear_ghost_cols(xd, FAR)
+        yd = clear_ghost_cols(yd, FAR)
+        vxd = clear_ghost_cols(vxd, 0.0)
+        vyd = clear_ghost_cols(vyd, 0.0)
 
-        send_r = jnp.stack(pr_ + [okr.astype(jnp.float32)])
-        send_l = jnp.stack(pl_ + [okl.astype(jnp.float32)])
-        recv_l = jax.lax.ppermute(send_r, AXIS, sh._fwd_perm(D))
-        recv_r = jax.lax.ppermute(send_l, AXIS, sh._bwd_perm(D))
+        if D > 1:
+            # my left exits -> left neighbour; I receive my right
+            # neighbour's left exits (they belong in my cell nxl-1, lane nxl)
+            in_from_right = jax.lax.ppermute(ex_l, AXIS, sh._bwd_perm(D))
+            # my right exits -> right neighbour; I receive my left
+            # neighbour's right exits (my cell 0, lane 1)
+            in_from_left = jax.lax.ppermute(ex_r, AXIS, sh._fwd_perm(D))
+            # unpaired edges receive zeros: mask positions back to FAR
+            dead = jnp.stack([jnp.full_like(ex_l[0], FAR),
+                              jnp.full_like(ex_l[0], FAR),
+                              jnp.zeros_like(ex_l[0]),
+                              jnp.zeros_like(ex_l[0])])
+            in_from_right = jnp.where(d == D - 1, dead, in_from_right)
+            in_from_left = jnp.where(d == 0, dead, in_from_left)
+        else:
+            in_from_right = in_from_left = None
 
-        def unpack(buf):
-            ok = buf[4] > 0.5
-            return [jnp.where(ok, buf[i], FAR if i < 2 else 0.0)
-                    for i in range(4)], ok
+        # edge devices fold their own outward captures back into the edge
+        # cell (the bounce box clamps x, so these are boundary-exact
+        # positions, not real exits)
+        if D > 1:
+            src_lane1 = jnp.where(d == 0, ex_l, in_from_left)
+            src_lane_nxl = jnp.where(d == D - 1, ex_r, in_from_right)
+        else:
+            src_lane1, src_lane_nxl = ex_l, ex_r
 
-        (inl, okl_in), (inr, okr_in) = unpack(recv_l), unpack(recv_r)
-        all_alive = jnp.concatenate([stay, okl_in, okr_in])
-        cat = lambda f, a, b: jnp.concatenate([f, a, b])
-        allx = cat(jnp.where(stay, x, FAR), inl[0], inr[0])
-        ally = cat(jnp.where(stay, y, FAR), inl[1], inr[1])
-        allvx = cat(jnp.where(stay, vx, 0.0), inl[2], inr[2])
-        allvy = cat(jnp.where(stay, vy, 0.0), inl[3], inr[3])
-        order = jnp.argsort(~all_alive)[:M]
-        new_alive = all_alive[order]
-        dropped = dropped + jnp.sum(all_alive) - jnp.sum(new_alive)
-        return (allx[order], ally[order], allvx[order], allvy[order],
-                new_alive, dropped)
+        fields = [xd, yd, vxd, vyd]
+        fields, drop1 = merge_col(fields, 1, src_lane1, cnt[:, 1])
+        fields, drop2 = merge_col(fields, nxl, src_lane_nxl, cnt[:, nxl])
+        xd, yd, vxd, vyd = fields
+        dropped = dropped + drop1 + drop2
+        return xd, yd, vxd, vyd, overflow, lost, dropped
 
     def local_init(x, y, vx, vy, alive, step):
         x, y, vx, vy, alive = (a.reshape(a.shape[1:])
@@ -146,18 +224,17 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
         b, xd, yd, vxd, vyd = bin_local(x, y, vx, vy, alive)
         r1 = lambda a: a.reshape((1,) + a.shape)
         z = jnp.zeros_like(xd)
-        return tuple(map(r1, (xd, yd, vxd, vyd, z, xd, yd,
-                              b.cx, b.cy, b.rank, alive,
-                              jnp.int32(0), b.overflow, jnp.int32(0),
-                              jnp.int32(1))))
+        return tuple(map(r1, (
+            xd, yd, vxd, vyd, z, xd, yd, count_live(xd), jnp.int32(0),
+            b.overflow, jnp.int32(0), jnp.int32(0), jnp.int32(1))))
 
-    def local_step(xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd, cx, cy, rank,
-                   alive, age, overflow, dropped, rebins, step):
+    def local_step(xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd, alive, age,
+                   overflow, lost, dropped, rebins, step):
         sq = lambda a: a.reshape(a.shape[1:])
-        (xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd, cx, cy, rank, alive, age,
-         overflow, dropped, rebins) = map(
-            sq, (xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd, cx, cy, rank,
-                 alive, age, overflow, dropped, rebins))
+        (xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd, alive, age, overflow,
+         lost, dropped, rebins) = map(
+            sq, (xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd, alive, age,
+                 overflow, lost, dropped, rebins))
 
         # collective rebin trigger: real columns only (ghosts are refreshed
         # from neighbours each step and carry no displacement meaning)
@@ -169,31 +246,22 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
         need = jax.lax.psum(need.astype(jnp.int32), AXIS) > 0  # uniform
 
         def do_rebin(op):
-            (xd, yd, vxd, vyd, cx, cy, rank, alive, age, overflow, dropped,
-             rebins) = op
-            x, y, vx, vy = gather_slots(
-                g, cx, cy, rank, [xd, yd, vxd, vyd], [FAR, FAR, 0.0, 0.0])
-            alive2 = alive & (x < FAR * 0.5)
-            x, y, vx, vy, alive2, dropped = migrate(x, y, vx, vy, alive2,
-                                                    dropped)
-            b, xd2, yd2, vxd2, vyd2 = bin_local(x, y, vx, vy, alive2)
-            return (xd2, yd2, vxd2, vyd2, b.cx, b.cy, b.rank, alive2,
-                    jnp.int32(0), jnp.maximum(overflow, b.overflow),
-                    dropped.astype(jnp.int32), rebins + 1)
+            xd, yd, vxd, vyd, age, overflow, lost, dropped, rebins = op
+            xd, yd, vxd, vyd, overflow, lost, dropped = collective_rebin(
+                xd, yd, vxd, vyd, overflow, lost, dropped)
+            return (xd, yd, vxd, vyd, jnp.int32(0), overflow, lost,
+                    dropped, rebins + 1)
 
         def no_rebin(op):
-            (xd, yd, vxd, vyd, cx, cy, rank, alive, age, overflow, dropped,
-             rebins) = op
-            return (xd, yd, vxd, vyd, cx, cy, rank, alive, age, overflow,
-                    dropped, rebins)
+            return op
 
-        (xd, yd, vxd, vyd, cx, cy, rank, alive, age, overflow, dropped,
-         rebins) = jax.lax.cond(
-            need, do_rebin, no_rebin,
-            (xd, yd, vxd, vyd, cx, cy, rank, alive, age, overflow, dropped,
-             rebins))
+        (xd, yd, vxd, vyd, age, overflow, lost, dropped, rebins) = \
+            jax.lax.cond(need, do_rebin, no_rebin,
+                         (xd, yd, vxd, vyd, age, overflow, lost, dropped,
+                          rebins))
         ref_xd = jnp.where(need, xd, ref_xd)
         ref_yd = jnp.where(need, yd, ref_yd)
+        alive = jnp.where(need, count_live(real(xd)), alive)
 
         # per-step halo: current neighbour edge values into ghost columns
         xd = sh._fill_ghost_cols(xd, nxl, D, FAR)
@@ -228,10 +296,10 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
 
         r1 = lambda a: a.reshape((1,) + a.shape)
         return tuple(map(r1, (xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd,
-                              cx, cy, rank, alive, age + 1, overflow,
-                              dropped, rebins)))
+                              alive, age + 1, overflow, lost, dropped,
+                              rebins)))
 
-    dense_specs = (P(AXIS),) * 15
+    dense_specs = (P(AXIS),) * 13
     init_sharded = jax.shard_map(
         local_init, mesh=mesh,
         in_specs=(P(AXIS),) * 5 + (P(),),
@@ -241,50 +309,59 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
         in_specs=dense_specs + (P(),),
         out_specs=dense_specs, check_vma=False)
 
+    def _pack(out, step):
+        (xd, yd, vxd, vyd, rho_d, rxd, ryd, alive, age, ovf, lost, drp,
+         rbc) = out
+        return ShardedDenseSim(xd=xd, yd=yd, vxd=vxd, vyd=vyd, rho_d=rho_d,
+                               ref_xd=rxd, ref_yd=ryd, alive=alive, age=age,
+                               overflow=ovf, lost=lost, dropped=drp,
+                               rebin_count=rbc, step=step)
+
     @jax.jit
     def init_fn(s: sh.ShardedState) -> ShardedDenseSim:
-        out = init_sharded(s.x, s.y, s.vx, s.vy, s.alive, s.step)
-        (xd, yd, vxd, vyd, rho_d, rxd, ryd, cx, cy, rank, alive, age, ovf,
-         drp, rbc) = out
-        return ShardedDenseSim(xd=xd, yd=yd, vxd=vxd, vyd=vyd, rho_d=rho_d,
-                               ref_xd=rxd, ref_yd=ryd, cx=cx, cy=cy,
-                               rank=rank, alive=alive, age=age, overflow=ovf,
-                               dropped=drp, rebin_count=rbc, step=s.step)
+        return _pack(init_sharded(s.x, s.y, s.vx, s.vy, s.alive, s.step),
+                     s.step)
 
     @jax.jit
     def step_fn(sim: ShardedDenseSim) -> ShardedDenseSim:
         out = step_sharded(sim.xd, sim.yd, sim.vxd, sim.vyd, sim.rho_d,
-                           sim.ref_xd, sim.ref_yd, sim.cx, sim.cy, sim.rank,
-                           sim.alive, sim.age, sim.overflow, sim.dropped,
+                           sim.ref_xd, sim.ref_yd, sim.alive, sim.age,
+                           sim.overflow, sim.lost, sim.dropped,
                            sim.rebin_count, sim.step)
-        (xd, yd, vxd, vyd, rho_d, rxd, ryd, cx, cy, rank, alive, age, ovf,
-         drp, rbc) = out
-        return ShardedDenseSim(xd=xd, yd=yd, vxd=vxd, vyd=vyd, rho_d=rho_d,
-                               ref_xd=rxd, ref_yd=ryd, cx=cx, cy=cy,
-                               rank=rank, alive=alive, age=age, overflow=ovf,
-                               dropped=drp, rebin_count=rbc,
-                               step=sim.step + 1)
+        return _pack(out, sim.step + 1)
 
     return init_fn, step_fn
 
 
 def extract_state(sim: ShardedDenseSim, spec: sh.ShardSpec,
                   params: FluidParams) -> sh.ShardedState:
-    """Per-particle view for rendering/analysis (off the hot path;
-    vmapped over the device axis)."""
+    """Per-particle view for rendering/analysis (off the hot path): live
+    dense slots compacted into per-device [capacity] buffers, vmapped over
+    the device axis.  Identity is not tracked across rebins (device-local
+    slot order)."""
     g = spec.local_grid
+    M = spec.capacity
 
-    def per_device(xd, yd, vxd, vyd, rho_d, cx, cy, rank, alive):
-        x, y, vx, vy, rho = gather_slots(
-            g, cx, cy, rank, [xd, yd, vxd, vyd, rho_d],
-            [FAR, FAR, 0.0, 0.0, 0.0])
-        rho = jnp.where(alive, rho, 0.0)
-        return x, y, vx, vy, rho
+    def per_device(xd, yd, vxd, vyd, rho_d):
+        def real(a):
+            return jax.lax.slice(
+                a, (g.row0, 0, 1),
+                (g.row0 + g.ny, g.cap, 1 + g.nx)).reshape(-1)
 
-    x, y, vx, vy, rho = jax.vmap(per_device)(
-        sim.xd, sim.yd, sim.vxd, sim.vyd, sim.rho_d,
-        sim.cx, sim.cy, sim.rank, sim.alive)
+        x = real(xd)
+        R = x.shape[0]
+        idx = jnp.flatnonzero(x < FAR * 0.5, size=M, fill_value=R)
+        ok = idx < R
+        safe = jnp.minimum(idx, R - 1)
+
+        def take(a, fill):
+            return jnp.where(ok, real(a)[safe], fill)
+        return (take(xd, FAR), take(yd, FAR), take(vxd, 0.0),
+                take(vyd, 0.0), take(rho_d, 0.0), ok)
+
+    x, y, vx, vy, rho, ok = jax.vmap(per_device)(
+        sim.xd, sim.yd, sim.vxd, sim.vyd, sim.rho_d)
     return sh.ShardedState(
         x=x, y=y, vx=vx, vy=vy, rho=rho,
-        p=jnp.where(sim.alive, eos_pressure(rho, params), 0.0),
-        alive=sim.alive, step=sim.step)
+        p=jnp.where(ok, eos_pressure(rho, params), 0.0),
+        alive=ok, step=sim.step)

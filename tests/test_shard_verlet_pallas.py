@@ -56,7 +56,7 @@ def test_pallas_verlet_sharded_matches_xla(runs):
 
     va = shard_verlet.extract_state(a, spec, PARAMS)
     vb = shard_verlet.extract_state(b, spec, PARAMS)
-    la, lb = np.asarray(a.alive), np.asarray(b.alive)
+    la, lb = np.asarray(va.alive), np.asarray(vb.alive)
 
     from scipy.spatial import cKDTree
     pa = np.stack([np.asarray(va.x)[la], np.asarray(va.y)[la]], -1)

@@ -1,0 +1,96 @@
+"""Hardware benchmark of the multi-chip production path (shard_verlet).
+
+Runs the sharded deferred-rebinning solver (shard_map slab decomposition +
+ppermute halos + Pallas stencils) over a real device mesh and reports
+particle-steps/s with conservation/overflow checks.  On this rig only one
+v5e chip is reachable, so the default is a D=1 mesh — the full collective
+code path (halo exchanges, psum'd rebin trigger, migration machinery)
+compiled and executed on hardware; ICI scaling itself is validated on the
+virtual CPU mesh (tests/test_shard*.py, __graft_entry__.dryrun_multichip).
+
+  python tools/bench_sharded.py --n 1000000 --steps 100
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+
+import bevy_gpu_fluid_tpu as bgf
+from bevy_gpu_fluid_tpu.models import pallas_solver
+from bevy_gpu_fluid_tpu.parallel import shard, shard_verlet
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--warmup-steps", type=int, default=300)
+    ap.add_argument("--devices", type=int, default=1)
+    ap.add_argument("--skin", type=float, default=1.75)
+    args = ap.parse_args()
+
+    side = int(math.isqrt(args.n))
+    n = side * side
+    extent = side * 0.04
+    params = bgf.FluidParams.demo()
+    cfg = bgf.IntegrateConfig.create(x_min=-1.0, x_max=extent + 1.0)
+    spec = shard.ShardSpec.build(
+        h=0.045 * args.skin, x_min=-1.0, x_max=extent + 1.0,
+        y_max=extent * 1.1 + 1.0, n_devices=args.devices,
+        capacity=-(-n // args.devices) * 2)
+    mesh = shard.make_mesh(args.devices)
+    stencils = pallas_solver.make_stencils(spec.local_grid)
+    init_fn, step_fn = shard_verlet.make_sharded_verlet_step(
+        params, cfg, spec, mesh, stencils=stencils)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=1)
+    def run_k(sim, k):
+        # step_fn is itself jitted; inlined under this scan
+        def body(s, _):
+            return step_fn(s), None
+        return jax.lax.scan(body, sim, None, length=k)[0]
+
+    state = bgf.init_grid(side, side, 0.04)
+    sim = init_fn(shard.shard_state(state, spec))
+
+    t0 = time.time()
+    sim = jax.block_until_ready(run_k(sim, args.warmup_steps))
+    sim = jax.block_until_ready(run_k(sim, args.steps))
+    t_compile = time.time() - t0
+    t0 = time.time()
+    sim = jax.block_until_ready(run_k(sim, args.steps))
+    dt = time.time() - t0
+
+    alive = int(jnp.sum(sim.alive))
+    ovf = int(sim.overflow.max())
+    drp = int(sim.dropped.sum())
+    rate = n * args.steps / dt
+    print(f"# sharded-verlet D={args.devices} n={n} "
+          f"compile+warmup={t_compile:.1f}s "
+          f"{dt / args.steps * 1e3:.2f} ms/step = {rate / 1e6:.1f}M "
+          f"particle-steps/s | alive {alive}/{n} overflow={ovf} "
+          f"dropped={drp} rebins={int(sim.rebin_count.max())}",
+          file=sys.stderr)
+    ok = alive == n and ovf == 0 and drp == 0
+    print(f'{{"metric": "sharded_verlet_psteps_per_sec_D{args.devices}", '
+          f'"value": {rate:.1f}, "unit": "particle-steps/s", '
+          f'"ok": {str(ok).lower()}}}')
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
