@@ -1,0 +1,45 @@
+"""Persistent dense Session (the production streaming/bench shape)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bevy_gpu_fluid_tpu import FluidParams, IntegrateConfig, init_grid
+from bevy_gpu_fluid_tpu.models import verlet_solver
+
+PARAMS = FluidParams.demo()
+CFG = IntegrateConfig.create(x_min=-1.0, x_max=2.5)
+GRID = verlet_solver.default_grid(0.045, -1.0, 2.5, y_max=3.0, cap=8)
+
+
+def test_session_matches_multi_step():
+    """Session.run + state() computes exactly what multi_step does (same
+    init, same scan, same extraction) — the bench/streaming path is the
+    same physics as the tested batch path, bitwise."""
+    state = init_grid(20, 20, 0.04)
+    sess = verlet_solver.Session(state, PARAMS, CFG, GRID)
+    sess.run(30)
+    sess.run(20)   # split across calls: state stays resident
+    got = sess.state()
+
+    want, diag, rebins = jax.jit(
+        lambda s: verlet_solver.multi_step(s, PARAMS, CFG, GRID, 50))(state)
+    assert sess.overflow == int(diag.overflow) == 0
+    assert int(sess.sim.rebin_count) == int(rebins)
+    np.testing.assert_array_equal(np.asarray(got.x), np.asarray(want.x))
+    np.testing.assert_array_equal(np.asarray(got.vx), np.asarray(want.vx))
+    np.testing.assert_array_equal(np.asarray(got.rho), np.asarray(want.rho))
+    assert int(got.step) == 50
+
+
+def test_session_run_frame():
+    state = init_grid(16, 16, 0.04)
+    sess = verlet_solver.Session(state, PARAMS, CFG, GRID)
+    img = np.asarray(sess.run_frame(substeps=8, px_per_cell=1))
+    assert img.dtype == np.uint8
+    assert img.shape == (GRID.ny, GRID.nx, 3)
+    assert int(sess.sim.step) == 8
+    # the block renders: some wet pixels, not all
+    wet = img.sum(-1) > 10
+    assert wet.any() and not wet.all()
+    assert sess.overflow == 0
