@@ -26,10 +26,21 @@ def apply_impulse(state: FluidState, cursor_x, cursor_y, dir_x, dir_y,
                   interaction_area: float = INTERACTION_AREA) -> FluidState:
     """vel += impulse * (dir_x, dir_y) for particles with
     |pos - cursor|^2 < interaction_area."""
-    dx = state.x - cursor_x
-    dy = state.y - cursor_y
+    vx, vy = apply_impulse_arrays(
+        state.x, state.y, state.vx, state.vy, cursor_x, cursor_y,
+        dir_x, dir_y, impulse, interaction_area)
+    return state.replace(vx=vx, vy=vy)
+
+
+def apply_impulse_arrays(x, y, vx, vy, cursor_x, cursor_y, dir_x, dir_y,
+                         impulse: float = IMPULSE,
+                         interaction_area: float = INTERACTION_AREA):
+    """Array form of apply_impulse, shape-agnostic — works on per-particle
+    [N] fields and on the dense [rows, cap, lanes] slot fields alike (empty
+    slots carry FAR positions and can never be within interaction range).
+    Returns (vx, vy)."""
+    dx = x - cursor_x
+    dy = y - cursor_y
     hit = dx * dx + dy * dy < interaction_area
-    return state.replace(
-        vx=jnp.where(hit, state.vx + impulse * dir_x, state.vx),
-        vy=jnp.where(hit, state.vy + impulse * dir_y, state.vy),
-    )
+    return (jnp.where(hit, vx + impulse * dir_x, vx),
+            jnp.where(hit, vy + impulse * dir_y, vy))

@@ -293,9 +293,20 @@ class Session:
             return raster.field_frame(sim.xd, sim.yd, params, grid,
                                       px_per_cell=ppc, mode=mode)
 
+        @jax.jit
+        def kick(sim, cx, cy, ux, uy, imp):
+            from ..interact.impulse import apply_impulse_arrays
+            vxd, vyd = apply_impulse_arrays(sim.xd, sim.yd, sim.vxd,
+                                            sim.vyd, cx, cy, ux, uy, imp)
+            live = sim.xd < FAR * 0.5
+            return dataclasses.replace(sim,
+                                       vxd=jnp.where(live, vxd, 0.0),
+                                       vyd=jnp.where(live, vyd, 0.0))
+
         self._run_k = run_k
         self._run_frame = run_frame
         self._frame = frame_only
+        self._kick = kick
         self._extract = jax.jit(
             lambda sim: extract_fields(sim, grid, params, self.n))
         self.sim = jax.jit(lambda s: init_dense(s, grid))(state)
@@ -316,6 +327,14 @@ class Session:
     def frame(self, px_per_cell: int = 2, mode: str = "density"):
         """uint8 RGB frame of the resident state (no stepping)."""
         return self._frame(self.sim, px_per_cell, mode)
+
+    def kick(self, x: float, y: float, dir_x: float, dir_y: float,
+             impulse: float = 10.0) -> None:
+        """Drag-impulse injection straight on the resident dense state
+        (reference semantics: apply_drag, examples/sph2d_cpu_demo.rs:
+        112-141) — interaction at 1M+ scale without materializing a
+        per-particle state."""
+        self.sim = self._kick(self.sim, x, y, dir_x, dir_y, impulse)
 
     def state(self) -> FluidState:
         """Materialize the per-particle FluidState (on demand only)."""

@@ -43,3 +43,24 @@ def test_session_run_frame():
     wet = img.sum(-1) > 10
     assert wet.any() and not wet.all()
     assert sess.overflow == 0
+
+
+def test_session_kick_matches_particle_impulse():
+    """Session.kick applies the reference's drag impulse directly on the
+    resident dense state — identical to extracting, applying the
+    per-particle impulse, and re-binning."""
+    from bevy_gpu_fluid_tpu.interact.impulse import apply_impulse
+
+    state = init_grid(16, 16, 0.04)
+    sess = verlet_solver.Session(state, PARAMS, CFG, GRID)
+    sess.run(10)
+    ref = apply_impulse(sess.state(), 0.3, 0.2, 0.8, 0.6)
+    sess.kick(0.3, 0.2, 0.8, 0.6)
+    got = sess.state()
+    np.testing.assert_array_equal(np.asarray(got.vx), np.asarray(ref.vx))
+    np.testing.assert_array_equal(np.asarray(got.vy), np.asarray(ref.vy))
+    assert float(jnp.max(jnp.abs(got.vx - sess.state().vx))) == 0.0
+    # and the sim keeps running finitely after the kick
+    sess.run(20)
+    assert sess.overflow == 0
+    assert bool(jnp.isfinite(sess.state().x).all())
