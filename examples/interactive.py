@@ -24,12 +24,14 @@ the fluid failed to respond.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import io
 import json
 import math
 import sys
 import threading
 import time
+from types import SimpleNamespace
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
@@ -85,6 +87,63 @@ loop();
 </script></body></html>"""
 
 
+@dataclasses.dataclass(frozen=True)
+class RasterSpec:
+    """Screen geometry of a frame: world origin + scale, matching
+    render.raster.RasterSpec's fields the pointer mapping needs."""
+    x0: float
+    y0: float
+    scale: float
+    height: int
+    width: int
+
+
+class _SessionSim:
+    """Session-backed adapter with the slice of the Simulation surface the
+    app uses — for LARGE scenes (100k-16M): the dense state stays resident
+    on device, frames come from the scalable Pallas field raster, and drag
+    impulses apply densely (Session.kick).  Screen geometry: the field
+    frame is (ny*P) x (nx*P) px aligned to the binning grid."""
+
+    def __init__(self, n: int, px_per_cell: int = 2):
+        import bevy_gpu_fluid_tpu as bgf
+        from bevy_gpu_fluid_tpu.models import verlet_solver
+
+        side = int(math.isqrt(n))
+        state = bgf.init_grid(side, side, 0.04)
+        extent = side * 0.04
+        self.cfg = bgf.IntegrateConfig.create(x_min=-1.0, x_max=extent + 1.0)
+        grid = verlet_solver.default_grid(0.045, -1.0, extent + 1.0,
+                                          y_max=extent * 1.1 + 1.0, cap=8)
+        self._sess = verlet_solver.Session(state, bgf.FluidParams.demo(),
+                                           self.cfg, grid)
+        self._ppc = px_per_cell
+        P, g = px_per_cell, grid
+        self.spec = RasterSpec(x0=g.origin_x, y0=g.origin_y,
+                               scale=P / g.cell_size, height=g.ny * P,
+                               width=g.nx * P)
+
+    @property
+    def state(self):
+        # stats only (n/step); never materializes the particle state
+        return SimpleNamespace(n=self._sess.n, step=self._sess.sim.step)
+
+    def particle_state(self):
+        return self._sess.state()
+
+    @property
+    def overflow(self):
+        return self._sess.overflow
+
+    def kick(self, x, y, ux, uy):
+        self._sess.kick(x, y, ux, uy)
+
+    def run_frame(self, substeps, mode):
+        return self._sess.run_frame(substeps, px_per_cell=self._ppc,
+                                    mode="const" if mode == "const"
+                                    else "density")
+
+
 class InteractiveApp:
     """Sim loop + frame buffer + input queue, UI-agnostic.
 
@@ -93,11 +152,15 @@ class InteractiveApp:
     exactly the surface a native window would use."""
 
     def __init__(self, n: int = 5041, substeps: int = 16,
-                 raster_width: int = 512, solver: str = "verlet"):
+                 raster_width: int = 512, solver: str = "verlet",
+                 session: bool = False):
         from bevy_gpu_fluid_tpu import Simulation
 
-        self.sim = Simulation.dam_break(n=n, solver=solver,
-                                        raster_width=raster_width)
+        if session:
+            self.sim = _SessionSim(n)
+        else:
+            self.sim = Simulation.dam_break(n=n, solver=solver,
+                                            raster_width=raster_width)
         self.substeps = substeps
         self.mode = "density"       # reference default ViewMode::DensityColor
         self._impulses: list[tuple[float, float, float, float]] = []
@@ -229,8 +292,12 @@ def selfdrive(app: InteractiveApp, frames: int) -> int:
     """Headless exercise of the exact input path a browser drives: a
     rightward drag across the lower half of the canvas, then a view toggle.
     Returns 0 iff the fluid responded (velocity change) and stayed finite."""
+    def pstate():
+        s = app.sim
+        return s.particle_state() if hasattr(s, "particle_state") \
+            else s.state
     spec = app.sim.spec
-    v0 = float(np.abs(np.asarray(app.sim.state.vx)).max())
+    v0 = float(np.abs(np.asarray(pstate().vx)).max())
     for i in range(frames):
         if i % 4 == 0:  # drag a path through the fluid block
             px = spec.width * (0.3 + 0.3 * (i / max(frames, 1)))
@@ -239,7 +306,7 @@ def selfdrive(app: InteractiveApp, frames: int) -> int:
         if i == frames // 2:
             app.toggle_view()
         app._run_one_frame()
-    s = app.sim.state
+    s = pstate()
     ok = (bool(np.isfinite(np.asarray(s.x)).all())
           and float(np.abs(np.asarray(s.vx)).max()) > v0
           and app.latest_png() is not None)
@@ -255,6 +322,10 @@ def main() -> int:
     ap.add_argument("--substeps", type=int, default=16)
     ap.add_argument("--width", type=int, default=512)
     ap.add_argument("--solver", default="verlet")
+    ap.add_argument("--session", action="store_true",
+                    help="Session-backed large-N mode: resident dense "
+                         "state + scalable field raster + dense impulses "
+                         "(use for 100k-16M particles)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (headless hosts)")
     ap.add_argument("--selfdrive", type=int, default=0, metavar="FRAMES",
@@ -268,7 +339,8 @@ def main() -> int:
                           os.path.expanduser("~/.jax_cache_cpu"))
 
     app = InteractiveApp(n=args.n, substeps=args.substeps,
-                         raster_width=args.width, solver=args.solver)
+                         raster_width=args.width, solver=args.solver,
+                         session=args.session)
     if args.selfdrive:
         app._run_one_frame()
         return selfdrive(app, args.selfdrive)

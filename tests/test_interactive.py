@@ -73,3 +73,13 @@ def test_http_surface(app):
         assert app.mode == "const"
     finally:
         srv.shutdown()
+
+
+def test_session_mode_selfdrive():
+    """The Session-backed large-N mode (resident dense state + field
+    raster + dense impulses) drives the same loop end-to-end."""
+    sys.path.insert(0, __file__.rsplit("/", 2)[0] + "/examples")
+    from interactive import InteractiveApp, selfdrive
+    a = InteractiveApp(n=256, substeps=2, session=True)
+    a._run_one_frame()
+    assert selfdrive(a, 8) == 0
