@@ -216,7 +216,11 @@ def _forces_kernel(pr, occ, x_hbm, y_hbm, vx_hbm, vy_hbm, rho_hbm,
                 # DISTINCT particles closer than 1e-6 would feel full
                 # viscosity and an O(EPS)-damped pressure push instead of
                 # zero force — a measure-zero configuration no sane scene
-                # reaches (the EOS repels at r << h long before).
+                # reaches (the EOS repels at r << h long before).  More
+                # broadly the softening biases the pressure force by
+                # EPS^2/(2 r^2) RELATIVE (2e-4 at r = 50 EPS, < 1e-9 at
+                # r >= h/30); gated at 1e-3 rel by
+                # tests/test_parity.py::test_random_configurations_parity.
                 inv_r = jax.lax.rsqrt(r2 + _EPS * _EPS)
                 dist = r2 * inv_r
                 hr = jnp.maximum(h - dist, 0.0)

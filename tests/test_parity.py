@@ -127,3 +127,38 @@ def test_density_ghost_rows_pinned_to_zero():
             slice(1, 1 + GRID.nx))
     assert bool(jnp.isfinite(ax_d[real]).all())
     assert bool(jnp.isfinite(ay_d[real]).all())
+
+
+def test_random_configurations_parity():
+    """Randomized single-step parity sweep: random clouds with
+    near-coincident pairs (r ~ 50*EPS) and boundary-exact positions —
+    pair-gating edge cases the lattice demo scenes never produce.
+
+    Acceleration compares at 0.1 abs + 1e-3 rel: the Pallas kernel's
+    branch-free inv_r = rsqrt(r^2 + EPS^2) softens the pressure force by
+    EPS^2/(2 r^2) relative (2e-4 at r = 50*EPS, vanishing as r grows) —
+    physically irrelevant on pairs the EOS is about to blast apart, and
+    documented in models/pallas_solver.py."""
+    from bevy_gpu_fluid_tpu.core.state import from_positions
+
+    key = jax.random.PRNGKey(7)
+    params = FluidParams.demo()
+    for trial in range(3):
+        key, k1, k2, k3 = jax.random.split(key, 4)
+        pos = jax.random.uniform(k1, (96, 2), minval=-0.2, maxval=0.8)
+        # a near-coincident pair and boundary-exact points
+        pos = pos.at[1].set(pos[0] + jnp.array([5e-5, 0.0]))
+        pos = pos.at[2].set(jnp.array([CFG.x_min, 0.0]))
+        pos = pos.at[3].set(jnp.array([CFG.x_max, 0.0]))
+        vel = jax.random.uniform(k2, (96, 2), minval=-2.0, maxval=2.0)
+        state = from_positions(pos).replace(vx=vel[:, 0], vy=vel[:, 1])
+
+        g = jax.jit(lambda s: golden.step(s, params, CFG))(state)
+        a = jax.jit(lambda s: pallas_solver.step(s, params, CFG, GRID))(state)
+        assert bool(jnp.isfinite(a.x).all() and jnp.isfinite(a.ax).all())
+        assert float(jnp.max(_sym_rel(a.rho, g.rho))) < 1e-5, f"trial {trial}"
+        bar_x = 0.1 + 1e-3 * jnp.abs(g.ax)
+        bar_y = 0.1 + 1e-3 * jnp.abs(g.ay)
+        assert bool(jnp.all(jnp.abs(a.ax - g.ax) < bar_x)), f"trial {trial}"
+        assert bool(jnp.all(jnp.abs(a.ay - g.ay) < bar_y)), f"trial {trial}"
+        assert float(jnp.max(jnp.abs(a.x - g.x))) < 1e-5
