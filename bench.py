@@ -73,11 +73,14 @@ def bench_case(n_particles: int, n_steps: int, cap: int = 8,
         run_block(warmup_steps)
         run_block(n_steps)        # compile the timed shape
         t_compile = time.time() - t0
+        rebins_before = int(sess.sim.rebin_count)
         t0 = time.time()
         run_block(n_steps)
         dt = time.time() - t0
         overflow = sess.overflow
-        rebins = int(sess.sim.rebin_count)
+        # rebins in the TIMED window only (like every other number on the
+        # verbose line); the cumulative count includes warmup + compile runs
+        rebins = int(sess.sim.rebin_count) - rebins_before
         finite = bool(jnp.isfinite(sess.sim.xd).all())
     else:
         grid = grid_solver.default_grid(0.045, -1.0, extent + 1.0,
@@ -93,7 +96,7 @@ def bench_case(n_particles: int, n_steps: int, cap: int = 8,
         s, diag = jax.block_until_ready(run(s, n_steps))
         dt = time.time() - t0
         overflow = int(diag.overflow)
-        rebins = warmup_steps + 2 * n_steps   # eager: every step
+        rebins = n_steps   # eager: every step of the timed window
         finite = bool(jnp.isfinite(s.x).all())
 
     rate = n * n_steps / dt

@@ -52,7 +52,14 @@ class Simulation:
         checkpoint's physics actually takes effect."""
         from ..models import grid_solver, pallas_solver, verlet_solver
         from ..models import reference as golden
+        from ..ops.binning import FAR, bin_particles, to_dense
         from ..render import raster
+
+        def _bin_dense(s):
+            b = bin_particles(s.x, s.y, self.grid, with_csr=False)
+            return to_dense(b, s.x, fill=FAR), to_dense(b, s.y, fill=FAR)
+        self._bin_dense = jax.jit(_bin_dense)
+        self._dense_cache = None  # (state object, (xd, yd))
 
         params, cfg, grid, solver = self.params, self.cfg, self.grid, \
             self.solver
@@ -114,7 +121,8 @@ class Simulation:
 
     @staticmethod
     def pool(n: int = 102_400, aspect: float = 16.0, solver: str = "verlet",
-             cap: int = 8, bounce: float = -0.5, **kw) -> "Simulation":
+             cap: int = 8, bounce: float = -0.5, max_depth_rows: int = 25,
+             **kw) -> "Simulation":
         """Physically-sane production scene: a wide, shallow pool.
 
         The reference's deep-column dam break scales badly past ~1M
@@ -123,8 +131,14 @@ class Simulation:
         on every wall contact (reference: src/cpu/sph2d.rs:199-220 —
         velocity x3).  This preset is the recommended large-N scene:
         aspect-ratio-wide block, dissipative bounce, box fitted with
-        splash margins.  See CLAUDE.md physics notes."""
-        rows = max(4, int(math.sqrt(n / aspect)))
+        splash margins.  Depth is additionally capped at ``max_depth_rows``
+        (default 25 rows = 1 world unit): the reference's weak EOS (k=3)
+        reaches cell capacity under hydrostatic compression for pools much
+        deeper than ~1 unit on a 1000s-of-steps timescale, so the aspect
+        is widened as needed to keep long-horizon runs in the validated
+        overflow-0 regime (a 25-row 102k pool ran 20k steps, overflow 0).
+        See CLAUDE.md physics notes."""
+        rows = max(4, min(int(math.sqrt(n / aspect)), max_depth_rows))
         cols = max(4, n // rows)
         state = init_grid(cols, rows, 0.04)
         params = FluidParams.demo()
@@ -163,12 +177,26 @@ class Simulation:
                 self.last_parity = self.validate()
         return self.state
 
-    def validate(self, raise_on_fail: bool = True):
-        """One golden-model parity spot check of the current rho/p fields
-        (positions are the source of truth; see utils/validator)."""
+    def validate(self, raise_on_fail: bool = True, mode: str = "full"):
+        """One golden-model parity spot check.
+
+        mode='full' (default for accelerated solvers): re-evaluate rho, p,
+        AND accelerations through this simulation's production stencils at
+        the current positions and diff against the O(N^2) golden model at
+        the reference's in-engine tolerances (1% rel + 0.5 abs acc,
+        reference: src/gpu/buffers.rs:564-567).  mode='fields': the cheaper
+        rho/p-only check of the STORED fields (also what the golden solver
+        gets — there is no accelerated path to cross-check there)."""
         from ..utils import validator
-        return validator.validate_fields(self.state, self.params,
-                                         raise_on_fail=raise_on_fail)
+        if mode == "fields" or self.solver == "golden":
+            return validator.validate_fields(self.state, self.params,
+                                             raise_on_fail=raise_on_fail)
+        from ..models import grid_solver, pallas_solver
+        stencils = (grid_solver.XLA_STENCILS if self.solver == "xla"
+                    else pallas_solver.make_stencils(self.grid))
+        return validator.validate_accelerated(
+            self.state, self.params, self.grid, stencils,
+            raise_on_fail=raise_on_fail)
 
     def kick(self, x: float, y: float, dir_x: float, dir_y: float,
              impulse: float | None = None) -> None:
@@ -183,14 +211,19 @@ class Simulation:
 
         Modes: 'density' / 'const' (per-particle Poly6 splats, like the
         reference's sprites) or 'field' / 'field_const' (the scalable
-        density-field raster — use for N >> 100k)."""
+        density-field raster — use for N >> 100k).  The field modes bin the
+        state into the dense layout ONCE per distinct state: repeated
+        frames of the same state (e.g. re-rendering after a mode toggle)
+        cost raster-only, not the ~48 ms 1M sort.  (Per-step streaming
+        should still use ``verlet_solver.Session``, which renders straight
+        from its resident dense state with zero binning at all.)"""
         if mode.startswith("field"):
-            from ..ops.binning import FAR, bin_particles, to_dense
             from ..render import raster
-            b = bin_particles(self.state.x, self.state.y, self.grid,
-                              with_csr=False)
-            xd = to_dense(b, self.state.x, fill=FAR)
-            yd = to_dense(b, self.state.y, fill=FAR)
+            if (self._dense_cache is None
+                    or self._dense_cache[0] is not self.state):
+                self._dense_cache = (self.state,
+                                     self._bin_dense(self.state))
+            xd, yd = self._dense_cache[1]
             return raster.field_frame(
                 xd, yd, self.params, self.grid, px_per_cell=2,
                 mode="const" if mode == "field_const" else "density")

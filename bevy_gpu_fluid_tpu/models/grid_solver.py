@@ -82,7 +82,17 @@ def forces_xla(xd, yd, vxd, vyd, rho_d,
     (reference: sph_density.wgsl:178-250):
        a_p = -m (p_i + p_j) / (2 rho_j) gradW_spiky(r)
        a_v = mu m (v_j - v_i) / rho_j lapW_visc(|r|)
-    The j == i self pair is excluded by slot identity at the center offset."""
+    The j == i self pair is excluded by slot identity at the center offset.
+
+    Gating note: this stencil keeps the golden model's HARD r >= EPS gate
+    (grad_spiky/laplacian_visc zero out below EPS).  The Pallas kernel uses
+    a branch-free softened gate instead (rsqrt(r2 + EPS^2), see
+    pallas_solver._forces_kernel) — a deliberate, documented deviation of
+    O(EPS^2/r^2) relative, gated by the randomized parity sweep
+    (tests/test_parity.py::test_random_configurations_parity).  The two
+    accelerated backends therefore differ at ~1e-9 relative on contact
+    pairs; comparisons between them use kernel-level tolerances (1e-4),
+    not bitwise equality."""
     h = params.h
     h2 = h * h
     cap = xd.shape[1]

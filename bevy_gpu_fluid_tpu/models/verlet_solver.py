@@ -268,12 +268,18 @@ class Session:
     def __init__(self, state: FluidState, params: FluidParams,
                  cfg: IntegrateConfig, grid: GridSpec2D, stencils=None,
                  max_age: int = 64, reslot=None):
+        self._setup(params, cfg, grid, state.n, stencils, max_age, reslot)
+        self.sim = jax.jit(lambda s: init_dense(s, self.grid))(state)
+
+    def _setup(self, params: FluidParams, cfg: IntegrateConfig,
+               grid: GridSpec2D, n: int, stencils, max_age: int,
+               reslot) -> None:
         from ..render import raster
 
         self.params = params
         self.cfg = cfg
         self.grid = grid
-        self.n = state.n
+        self.n = n
         stepf = make_step(params, cfg, grid, stencils, max_age, reslot)
 
         @partial(jax.jit, static_argnums=1)
@@ -308,8 +314,7 @@ class Session:
         self._frame = frame_only
         self._kick = kick
         self._extract = jax.jit(
-            lambda sim: extract_fields(sim, grid, params, self.n))
-        self.sim = jax.jit(lambda s: init_dense(s, grid))(state)
+            lambda sim: extract_fields(sim, grid, params, n))
 
     def run(self, n_steps: int) -> None:
         """Advance n_steps on-device (one compiled dispatch)."""
@@ -343,6 +348,32 @@ class Session:
             x=x, y=y, vx=vx, vy=vy,
             ax=jnp.zeros_like(x), ay=jnp.zeros_like(x),
             rho=rho, p=eos_pressure(rho, self.params), step=self.sim.step)
+
+    def save(self, path: str) -> None:
+        """Snapshot the RESIDENT DenseSim (slot structure, skin references,
+        rebin counters) + grid/params/cfg.  ``Session.restore`` continues
+        bitwise-identically to an uninterrupted run — unlike
+        ``Simulation.save``, which goes through an extracted FluidState and
+        would re-sort + reset the deferred-rebin state on load.  (The
+        reference's only snapshot was its CPU readback mirror,
+        reference: examples/gpu_demo.rs:116-127.)"""
+        from ..utils import checkpoint
+        checkpoint.save_dense(path, self.sim, self.grid, self.params,
+                              self.cfg, self.n)
+
+    @classmethod
+    def restore(cls, path: str, stencils=None, max_age: int = 64,
+                reslot=None) -> "Session":
+        """Rebuild a Session from ``save``.  Non-serializable knobs
+        (stencils / reslot backend, max_age) are re-supplied here and must
+        match the saved run's for bitwise continuation (defaults match
+        defaults)."""
+        from ..utils import checkpoint
+        sim, grid, params, cfg, n = checkpoint.load_dense(path)
+        self = cls.__new__(cls)
+        self._setup(params, cfg, grid, n, stencils, max_age, reslot)
+        self.sim = sim
+        return self
 
     @property
     def overflow(self) -> int:

@@ -46,12 +46,16 @@ AXIS = "x"
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=("x", "y", "vx", "vy", "rho", "p", "alive", "step"),
+         data_fields=("x", "y", "vx", "vy", "rho", "p", "idx", "alive",
+                      "step"),
          meta_fields=())
 @dataclasses.dataclass
 class ShardedState:
     """Per-device fixed-capacity SoA: float32[n_devices, capacity] fields,
-    bool alive, int32 step."""
+    int32 idx (original particle index, -1 = dead — the analog of the
+    reference's stable SSBO array index, which its parity harnesses compare
+    by, reference: examples/gpu_parity10.rs:104-139), bool alive, int32
+    step."""
 
     x: jax.Array
     y: jax.Array
@@ -59,6 +63,7 @@ class ShardedState:
     vy: jax.Array
     rho: jax.Array
     p: jax.Array
+    idx: jax.Array
     alive: jax.Array
     step: jax.Array
 
@@ -105,7 +110,10 @@ class ShardSpec:
 
 def shard_state(state: FluidState, spec: ShardSpec) -> ShardedState:
     """Partition a FluidState by x-slab into [D, capacity] device buffers.
-    Raises if any slab exceeds capacity."""
+    Slot i carries its ORIGINAL particle index in ``idx`` (globally unique;
+    preserved across migration and rebinning — identity is first-class, as
+    the reference's SSBO array index was).  Raises if any slab exceeds
+    capacity."""
     import numpy as np
     D, M = spec.n_devices, spec.capacity
     x = np.asarray(state.x)
@@ -114,6 +122,7 @@ def shard_state(state: FluidState, spec: ShardSpec) -> ShardedState:
     out = {k: np.full((D, M), FAR if k in ("x", "y") else 0.0,
                       dtype=np.float32)
            for k in ("x", "y", "vx", "vy", "rho", "p")}
+    ids = np.full((D, M), -1, dtype=np.int32)
     alive = np.zeros((D, M), bool)
     for d in range(D):
         idx = np.nonzero(slab == d)[0]
@@ -121,14 +130,21 @@ def shard_state(state: FluidState, spec: ShardSpec) -> ShardedState:
             raise ValueError(f"slab {d} holds {len(idx)} > capacity {M}")
         for k in out:
             out[k][d, :len(idx)] = np.asarray(getattr(state, k))[idx]
+        ids[d, :len(idx)] = idx
         alive[d, :len(idx)] = True
-    return ShardedState(step=jnp.asarray(state.step), alive=jnp.asarray(alive),
+    # step goes through host numpy: the input state may be committed to a
+    # DIFFERENT mesh (re-sharding an extracted multi-chip state), and a
+    # committed scalar would poison the target mesh's jit with an
+    # incompatible-devices error
+    return ShardedState(step=jnp.asarray(np.asarray(state.step)),
+                        alive=jnp.asarray(alive), idx=jnp.asarray(ids),
                         **{k: jnp.asarray(v) for k, v in out.items()})
 
 
 def unshard_state(sharded: ShardedState) -> FluidState:
     """Flatten live particles back to a FluidState (device order, for
-    rendering/analysis; per-particle identity is not tracked across steps)."""
+    rendering/analysis).  For original-order state use
+    ``to_fluid_state`` — per-particle identity IS tracked."""
     import numpy as np
     alive = np.asarray(sharded.alive).reshape(-1)
     pick = lambda a: jnp.asarray(np.asarray(a).reshape(-1)[alive])
@@ -138,6 +154,26 @@ def unshard_state(sharded: ShardedState) -> FluidState:
                       ax=jnp.zeros((n,), jnp.float32),
                       ay=jnp.zeros((n,), jnp.float32),
                       rho=pick(sharded.rho), p=pick(sharded.p),
+                      step=sharded.step)
+
+
+def to_fluid_state(sharded: ShardedState, n: int) -> FluidState:
+    """ORIGINAL-order FluidState: particle i of the input is particle i of
+    the output, matched by the tracked ``idx`` plane (the reference-style
+    per-particle view its parity harnesses diff by,
+    reference: examples/gpu_integration_parity.rs:118-157).  Particles
+    dropped by capacity/migration limits come back as FAR positions."""
+    idx = jnp.reshape(sharded.idx, (-1,))
+    ok = idx >= 0
+    safe = jnp.where(ok, idx, n + (1 << 20))
+    vals = jnp.stack([jnp.reshape(getattr(sharded, k), (-1,))
+                      for k in ("x", "y", "vx", "vy", "rho", "p")], axis=-1)
+    init = jnp.broadcast_to(
+        jnp.array([FAR, FAR, 0.0, 0.0, 0.0, 0.0], jnp.float32), (n, 6))
+    out = init.at[safe].set(vals, mode="drop")
+    z = jnp.zeros((n,), jnp.float32)
+    return FluidState(x=out[:, 0], y=out[:, 1], vx=out[:, 2], vy=out[:, 3],
+                      ax=z, ay=z, rho=out[:, 4], p=out[:, 5],
                       step=sharded.step)
 
 
@@ -190,9 +226,9 @@ def make_sharded_step(params: FluidParams, cfg: IntegrateConfig,
         stencils = grid_solver.XLA_STENCILS
     density_fn, forces_fn = stencils
 
-    def local_step(x, y, vx, vy, rho_o, p_o, alive, step):
-        x, y, vx, vy, alive = (a.reshape(a.shape[1:])
-                               for a in (x, y, vx, vy, alive))
+    def local_step(x, y, vx, vy, rho_o, p_o, idx, alive, step):
+        x, y, vx, vy, idx, alive = (a.reshape(a.shape[1:])
+                                    for a in (x, y, vx, vy, idx, alive))
         d = jax.lax.axis_index(AXIS)
         ox = spec.global_x0 + d.astype(jnp.float32) * spec.slab_width
         origin = (ox, g.origin_y)
@@ -245,23 +281,32 @@ def make_sharded_step(params: FluidParams, cfg: IntegrateConfig,
 
         dropped = jnp.int32(0)
         if D > 1:
-            fields = lambda: [(x2, FAR), (y2, FAR), (vx2, 0.0), (vy2, 0.0)]
+            # identity rides the exchange bitcast to f32 (exact round-trip;
+            # a plain cast would lose indices past 2^24)
+            idx_f = jax.lax.bitcast_convert_type(idx, jnp.float32)
+            dead_if = jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32)
+            fields = lambda: [(x2, FAR), (y2, FAR), (vx2, 0.0), (vy2, 0.0),
+                              (idx_f, dead_if)]
             pl_, okl, dl = _pack_migrants(fields(), go_left, E)
             pr_, okr, dr = _pack_migrants(fields(), go_right, E)
             dropped = dropped + dl + dr
 
-            send_r = jnp.stack(pr_ + [okr.astype(jnp.float32)])   # [5, E]
+            send_r = jnp.stack(pr_ + [okr.astype(jnp.float32)])   # [6, E]
             send_l = jnp.stack(pl_ + [okl.astype(jnp.float32)])
             recv_l = jax.lax.ppermute(send_r, AXIS, _fwd_perm(D))
             recv_r = jax.lax.ppermute(send_l, AXIS, _bwd_perm(D))
             # devices with no neighbour receive zeros -> ok flag 0 = dead
 
             def unpack(buf):
-                ok = buf[4] > 0.5
-                return [jnp.where(ok, buf[i], FAR if i < 2 else 0.0)
-                        for i in range(4)], ok
+                ok = buf[5] > 0.5
+                vals = [jnp.where(ok, buf[i], FAR if i < 2 else 0.0)
+                        for i in range(4)]
+                ids = jnp.where(ok, jax.lax.bitcast_convert_type(
+                    buf[4], jnp.int32), -1)
+                return vals, ids, ok
 
-            (inl, okl_in), (inr, okr_in) = unpack(recv_l), unpack(recv_r)
+            (inl, idl_in, okl_in) = unpack(recv_l)
+            (inr, idr_in, okr_in) = unpack(recv_r)
 
             all_alive = jnp.concatenate([stay, okl_in, okr_in])
             cat = lambda f, a, bb: jnp.concatenate([f, a, bb])
@@ -271,6 +316,7 @@ def make_sharded_step(params: FluidParams, cfg: IntegrateConfig,
             allvy = cat(jnp.where(stay, vy2, 0.0), inl[3], inr[3])
             allrho = cat(jnp.where(stay, rho, 0.0), okl_in * 0.0, okr_in * 0.0)
             allp = cat(jnp.where(stay, p, 0.0), okl_in * 0.0, okr_in * 0.0)
+            allidx = cat(jnp.where(stay, idx, -1), idl_in, idr_in)
 
             order = jnp.argsort(~all_alive)[:M]   # stable compaction
             new_alive = all_alive[order]
@@ -278,29 +324,30 @@ def make_sharded_step(params: FluidParams, cfg: IntegrateConfig,
             x2, y2 = allx[order], ally[order]
             vx2, vy2 = allvx[order], allvy[order]
             rho, p = allrho[order], allp[order]
+            idx = allidx[order]
             alive = new_alive
         else:
             alive = stay
+        idx = jnp.where(alive, idx, -1)
 
         diag_overflow = b.overflow.reshape(1)
         diag_dropped = dropped.astype(jnp.int32).reshape(1)
         diag_alive = jnp.sum(alive).astype(jnp.int32).reshape(1)
         r1 = lambda a: a.reshape((1,) + a.shape)
-        return (r1(x2), r1(y2), r1(vx2), r1(vy2), r1(rho), r1(p), r1(alive),
-                diag_overflow, diag_dropped, diag_alive)
+        return (r1(x2), r1(y2), r1(vx2), r1(vy2), r1(rho), r1(p), r1(idx),
+                r1(alive), diag_overflow, diag_dropped, diag_alive)
 
     sharded = shard_map(
         local_step, mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
-                  P(AXIS), P()),
-        out_specs=(P(AXIS),) * 7 + (P(AXIS), P(AXIS), P(AXIS)),
+        in_specs=(P(AXIS),) * 8 + (P(),),
+        out_specs=(P(AXIS),) * 8 + (P(AXIS), P(AXIS), P(AXIS)),
         check_vma=False)
 
     @jax.jit
     def step(s: ShardedState):
-        (x, y, vx, vy, rho, p, alive, ovf, drp, cnt) = sharded(
-            s.x, s.y, s.vx, s.vy, s.rho, s.p, s.alive, s.step)
-        return (ShardedState(x=x, y=y, vx=vx, vy=vy, rho=rho, p=p,
+        (x, y, vx, vy, rho, p, idx, alive, ovf, drp, cnt) = sharded(
+            s.x, s.y, s.vx, s.vy, s.rho, s.p, s.idx, s.alive, s.step)
+        return (ShardedState(x=x, y=y, vx=vx, vy=vy, rho=rho, p=p, idx=idx,
                              alive=alive, step=s.step + 1),
                 ShardDiag(overflow=ovf, dropped=drp, alive_count=cnt))
 

@@ -25,9 +25,15 @@ slab) cost ~40 ms per rebin at 1M where this costs ~2 ms.
 Rebinning must be COLLECTIVE (migration is an exchange), so the per-device
 skin trigger is psum-reduced and all devices take the rebin branch together.
 
-Per-particle identity is not tracked in the sharded path (the reference
-tracks none either); ``extract_state`` compacts live dense slots into
-per-device [capacity] buffers on demand, off the hot path.
+Per-particle identity is first-class: a dense int32 idx plane (the original
+particle index, globally unique — the analog of the reference's stable SSBO
+array index its parity harnesses compare by, reference:
+examples/gpu_parity10.rs:104-139) rides through reslot, the ghost-column
+exchange (bitcast to f32 so one ppermute pair still moves everything), and
+the edge-cell merge.  ``extract_fluid_state`` returns the ORIGINAL-order
+FluidState on demand, so multi-chip runs are checkpointable and parity-
+gateable particle-i-to-particle-i; ``extract_state`` keeps the cheaper
+per-device compacted view for rendering.
 
 Edge devices merge their own outward ghost captures back into the adjacent
 real edge cell: the global bounce box clamps x into the domain, so a
@@ -45,6 +51,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.params import FluidParams, IntegrateConfig, GRAVITY_Y
+from ..core.state import FluidState
 from ..ops.binning import FAR, bin_particles, to_dense
 from ..ops.kernels import eos_pressure
 from ..ops import reslot as reslot_ops
@@ -56,7 +63,7 @@ AXIS = sh.AXIS
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=("xd", "yd", "vxd", "vyd", "rho_d", "ref_xd", "ref_yd",
-                      "alive", "age", "overflow", "lost", "dropped",
+                      "idx_d", "alive", "age", "overflow", "lost", "dropped",
                       "rebin_count", "step"),
          meta_fields=())
 @dataclasses.dataclass
@@ -65,6 +72,8 @@ class ShardedDenseSim:
     [n_devices] axis (sharded on it): dense fields [D, ny_pad, cap,
     nxl_pad]; int32 per-device counters [D]; step: global scalar.
 
+    idx_d:    int32 original (global) particle index per slot, -1 = empty —
+              identity through migration and rebinning
     alive:    live particles currently resident on the device
     overflow: cumulative cell-capacity losses (reslot matches beyond cap)
     lost:     cumulative reslot window misses (structurally 0 — diagnostic)
@@ -78,6 +87,7 @@ class ShardedDenseSim:
     rho_d: jax.Array
     ref_xd: jax.Array
     ref_yd: jax.Array
+    idx_d: jax.Array
     alive: jax.Array
     age: jax.Array
     overflow: jax.Array
@@ -113,7 +123,7 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
         return (spec.global_x0 + d.astype(jnp.float32) * spec.slab_width,
                 g.origin_y)
 
-    def bin_local(x, y, vx, vy, alive):
+    def bin_local(x, y, vx, vy, idx, alive):
         d = jax.lax.axis_index(AXIS)
         xb = jnp.where(alive, x, FAR)
         yb = jnp.where(alive, y, FAR)
@@ -123,7 +133,8 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
         yd = to_dense(b, yb, fill=FAR)
         vxd = to_dense(b, jnp.where(alive, vx, 0.0), fill=0.0)
         vyd = to_dense(b, jnp.where(alive, vy, 0.0), fill=0.0)
-        return b, xd, yd, vxd, vyd
+        idxd = to_dense(b, jnp.where(alive, idx, -1), fill=-1)
+        return b, xd, yd, vxd, vyd, idxd
 
     def clear_ghost_cols(a, fill):
         a = jax.lax.dynamic_update_slice_in_dim(
@@ -135,9 +146,10 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
         return jnp.sum(xd < FAR * 0.5).astype(jnp.int32)
 
     def merge_col(fields, lane, src, base_cnt):
-        """Append src occupants ([4, ny_pad, cap]: x, y, vx, vy; FAR = dead)
-        into column ``lane`` of the dense fields at ranks continuing from
-        base_cnt.  Returns (fields, n_dropped_beyond_cap)."""
+        """Append src occupants ([F, ny_pad, cap] f32 planes, plane 0 = x,
+        FAR = dead; idx rides bitcast) into column ``lane`` of the dense
+        fields (len(fields) == F, same plane order) at ranks continuing
+        from base_cnt.  Returns (fields, n_dropped_beyond_cap)."""
         cols = [f[:, :, lane] for f in fields]          # [ny_pad, cap] each
         acc = jnp.minimum(base_cnt, cap)                # [ny_pad]
         kio = jnp.arange(cap, dtype=jnp.int32)[None, :]
@@ -153,33 +165,39 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
         fields = [f.at[:, :, lane].set(c) for f, c in zip(fields, cols)]
         return fields, drop
 
-    def collective_rebin(xd, yd, vxd, vyd, overflow, lost, dropped):
+    def collective_rebin(xd, yd, vxd, vyd, idx_d, overflow, lost, dropped):
         """Local reslot with ghost capture + one ppermute pair + edge-cell
         merge.  Ghost columns must arrive holding NEIGHBOUR values (per-step
-        halo state) and leave cleared (FAR)."""
+        halo state) and leave cleared (FAR).  Identity (idx) rides the
+        exchange bitcast to f32 — exact round-trip, one ppermute pair still
+        moves everything."""
         # neighbour-valued ghosts are the neighbour's real particles —
         # clear them so the reslot can't duplicate them locally
         xd = clear_ghost_cols(xd, FAR)
         yd = clear_ghost_cols(yd, FAR)
         vxd = clear_ghost_cols(vxd, 0.0)
         vyd = clear_ghost_cols(vyd, 0.0)
+        idx_d = clear_ghost_cols(idx_d, -1)
         alive_before = count_live(xd)
 
         d = jax.lax.axis_index(AXIS)
-        dummy_idx = jnp.zeros(xd.shape, jnp.int32)
-        xd, yd, vxd, vyd, _, cnt = reslot(xd, yd, vxd, vyd, dummy_idx,
-                                          origin=origin_of(d))
+        xd, yd, vxd, vyd, idx_d, cnt = reslot(xd, yd, vxd, vyd, idx_d,
+                                              origin=origin_of(d))
         matched = jnp.sum(cnt).astype(jnp.int32)
         captured = jnp.sum(jnp.minimum(cnt, cap)).astype(jnp.int32)
         overflow = overflow + (matched - captured)
         lost = lost + (alive_before - matched)
 
+        idx_f = jax.lax.bitcast_convert_type(idx_d, jnp.float32)
+        dead_if = jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32)
+
         # exits sit in the ghost columns now: lane 0 = cell -1 (left exit),
         # lane nxl+1 = cell nxl (right exit)
         def col(a, lane):
             return jax.lax.slice_in_dim(a, lane, lane + 1, axis=2)[:, :, 0]
-        ex_l = jnp.stack([col(a, 0) for a in (xd, yd, vxd, vyd)])
-        ex_r = jnp.stack([col(a, nxl + 1) for a in (xd, yd, vxd, vyd)])
+        planes = (xd, yd, vxd, vyd, idx_f)
+        ex_l = jnp.stack([col(a, 0) for a in planes])
+        ex_r = jnp.stack([col(a, nxl + 1) for a in planes])
         xd = clear_ghost_cols(xd, FAR)
         yd = clear_ghost_cols(yd, FAR)
         vxd = clear_ghost_cols(vxd, 0.0)
@@ -196,7 +214,8 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
             dead = jnp.stack([jnp.full_like(ex_l[0], FAR),
                               jnp.full_like(ex_l[0], FAR),
                               jnp.zeros_like(ex_l[0]),
-                              jnp.zeros_like(ex_l[0])])
+                              jnp.zeros_like(ex_l[0]),
+                              jnp.full_like(ex_l[0], dead_if)])
             in_from_right = jnp.where(d == D - 1, dead, in_from_right)
             in_from_left = jnp.where(d == 0, dead, in_from_left)
         else:
@@ -211,29 +230,31 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
         else:
             src_lane1, src_lane_nxl = ex_l, ex_r
 
-        fields = [xd, yd, vxd, vyd]
+        fields = [xd, yd, vxd, vyd, idx_f]
         fields, drop1 = merge_col(fields, 1, src_lane1, cnt[:, 1])
         fields, drop2 = merge_col(fields, nxl, src_lane_nxl, cnt[:, nxl])
-        xd, yd, vxd, vyd = fields
+        xd, yd, vxd, vyd, idx_f = fields
+        idx_d = clear_ghost_cols(
+            jax.lax.bitcast_convert_type(idx_f, jnp.int32), -1)
         dropped = dropped + drop1 + drop2
-        return xd, yd, vxd, vyd, overflow, lost, dropped
+        return xd, yd, vxd, vyd, idx_d, overflow, lost, dropped
 
-    def local_init(x, y, vx, vy, alive, step):
-        x, y, vx, vy, alive = (a.reshape(a.shape[1:])
-                               for a in (x, y, vx, vy, alive))
-        b, xd, yd, vxd, vyd = bin_local(x, y, vx, vy, alive)
+    def local_init(x, y, vx, vy, idx, alive, step):
+        x, y, vx, vy, idx, alive = (a.reshape(a.shape[1:])
+                                    for a in (x, y, vx, vy, idx, alive))
+        b, xd, yd, vxd, vyd, idxd = bin_local(x, y, vx, vy, idx, alive)
         r1 = lambda a: a.reshape((1,) + a.shape)
         z = jnp.zeros_like(xd)
         return tuple(map(r1, (
-            xd, yd, vxd, vyd, z, xd, yd, count_live(xd), jnp.int32(0),
+            xd, yd, vxd, vyd, z, xd, yd, idxd, count_live(xd), jnp.int32(0),
             b.overflow, jnp.int32(0), jnp.int32(0), jnp.int32(1))))
 
-    def local_step(xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd, alive, age,
-                   overflow, lost, dropped, rebins, step):
+    def local_step(xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd, idx_d, alive,
+                   age, overflow, lost, dropped, rebins, step):
         sq = lambda a: a.reshape(a.shape[1:])
-        (xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd, alive, age, overflow,
-         lost, dropped, rebins) = map(
-            sq, (xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd, alive, age,
+        (xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd, idx_d, alive, age,
+         overflow, lost, dropped, rebins) = map(
+            sq, (xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd, idx_d, alive, age,
                  overflow, lost, dropped, rebins))
 
         # collective rebin trigger: real columns only (ghosts are refreshed
@@ -246,19 +267,20 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
         need = jax.lax.psum(need.astype(jnp.int32), AXIS) > 0  # uniform
 
         def do_rebin(op):
-            xd, yd, vxd, vyd, age, overflow, lost, dropped, rebins = op
-            xd, yd, vxd, vyd, overflow, lost, dropped = collective_rebin(
-                xd, yd, vxd, vyd, overflow, lost, dropped)
-            return (xd, yd, vxd, vyd, jnp.int32(0), overflow, lost,
+            xd, yd, vxd, vyd, idx_d, age, overflow, lost, dropped, rebins = op
+            xd, yd, vxd, vyd, idx_d, overflow, lost, dropped = \
+                collective_rebin(xd, yd, vxd, vyd, idx_d, overflow, lost,
+                                 dropped)
+            return (xd, yd, vxd, vyd, idx_d, jnp.int32(0), overflow, lost,
                     dropped, rebins + 1)
 
         def no_rebin(op):
             return op
 
-        (xd, yd, vxd, vyd, age, overflow, lost, dropped, rebins) = \
+        (xd, yd, vxd, vyd, idx_d, age, overflow, lost, dropped, rebins) = \
             jax.lax.cond(need, do_rebin, no_rebin,
-                         (xd, yd, vxd, vyd, age, overflow, lost, dropped,
-                          rebins))
+                         (xd, yd, vxd, vyd, idx_d, age, overflow, lost,
+                          dropped, rebins))
         ref_xd = jnp.where(need, xd, ref_xd)
         ref_yd = jnp.where(need, yd, ref_yd)
         alive = jnp.where(need, count_live(real(xd)), alive)
@@ -296,13 +318,13 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
 
         r1 = lambda a: a.reshape((1,) + a.shape)
         return tuple(map(r1, (xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd,
-                              alive, age + 1, overflow, lost, dropped,
-                              rebins)))
+                              idx_d, alive, age + 1, overflow, lost,
+                              dropped, rebins)))
 
-    dense_specs = (P(AXIS),) * 13
+    dense_specs = (P(AXIS),) * 14
     init_sharded = jax.shard_map(
         local_init, mesh=mesh,
-        in_specs=(P(AXIS),) * 5 + (P(),),
+        in_specs=(P(AXIS),) * 6 + (P(),),
         out_specs=dense_specs, check_vma=False)
     step_sharded = jax.shard_map(
         local_step, mesh=mesh,
@@ -310,23 +332,24 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
         out_specs=dense_specs, check_vma=False)
 
     def _pack(out, step):
-        (xd, yd, vxd, vyd, rho_d, rxd, ryd, alive, age, ovf, lost, drp,
-         rbc) = out
+        (xd, yd, vxd, vyd, rho_d, rxd, ryd, idxd, alive, age, ovf, lost,
+         drp, rbc) = out
         return ShardedDenseSim(xd=xd, yd=yd, vxd=vxd, vyd=vyd, rho_d=rho_d,
-                               ref_xd=rxd, ref_yd=ryd, alive=alive, age=age,
+                               ref_xd=rxd, ref_yd=ryd, idx_d=idxd,
+                               alive=alive, age=age,
                                overflow=ovf, lost=lost, dropped=drp,
                                rebin_count=rbc, step=step)
 
     @jax.jit
     def init_fn(s: sh.ShardedState) -> ShardedDenseSim:
-        return _pack(init_sharded(s.x, s.y, s.vx, s.vy, s.alive, s.step),
-                     s.step)
+        return _pack(init_sharded(s.x, s.y, s.vx, s.vy, s.idx, s.alive,
+                                  s.step), s.step)
 
     @jax.jit
     def step_fn(sim: ShardedDenseSim) -> ShardedDenseSim:
         out = step_sharded(sim.xd, sim.yd, sim.vxd, sim.vyd, sim.rho_d,
-                           sim.ref_xd, sim.ref_yd, sim.alive, sim.age,
-                           sim.overflow, sim.lost, sim.dropped,
+                           sim.ref_xd, sim.ref_yd, sim.idx_d, sim.alive,
+                           sim.age, sim.overflow, sim.lost, sim.dropped,
                            sim.rebin_count, sim.step)
         return _pack(out, sim.step + 1)
 
@@ -337,12 +360,12 @@ def extract_state(sim: ShardedDenseSim, spec: sh.ShardSpec,
                   params: FluidParams) -> sh.ShardedState:
     """Per-particle view for rendering/analysis (off the hot path): live
     dense slots compacted into per-device [capacity] buffers, vmapped over
-    the device axis.  Identity is not tracked across rebins (device-local
-    slot order)."""
+    the device axis, with each particle's tracked original index in
+    ``idx``."""
     g = spec.local_grid
     M = spec.capacity
 
-    def per_device(xd, yd, vxd, vyd, rho_d):
+    def per_device(xd, yd, vxd, vyd, rho_d, idx_d):
         def real(a):
             return jax.lax.slice(
                 a, (g.row0, 0, 1),
@@ -350,18 +373,53 @@ def extract_state(sim: ShardedDenseSim, spec: sh.ShardSpec,
 
         x = real(xd)
         R = x.shape[0]
-        idx = jnp.flatnonzero(x < FAR * 0.5, size=M, fill_value=R)
-        ok = idx < R
-        safe = jnp.minimum(idx, R - 1)
+        slot = jnp.flatnonzero(x < FAR * 0.5, size=M, fill_value=R)
+        ok = slot < R
+        safe = jnp.minimum(slot, R - 1)
 
         def take(a, fill):
             return jnp.where(ok, real(a)[safe], fill)
         return (take(xd, FAR), take(yd, FAR), take(vxd, 0.0),
-                take(vyd, 0.0), take(rho_d, 0.0), ok)
+                take(vyd, 0.0), take(rho_d, 0.0), take(idx_d, -1), ok)
 
-    x, y, vx, vy, rho, ok = jax.vmap(per_device)(
-        sim.xd, sim.yd, sim.vxd, sim.vyd, sim.rho_d)
+    x, y, vx, vy, rho, idx, ok = jax.vmap(per_device)(
+        sim.xd, sim.yd, sim.vxd, sim.vyd, sim.rho_d, sim.idx_d)
     return sh.ShardedState(
         x=x, y=y, vx=vx, vy=vy, rho=rho,
         p=jnp.where(ok, eos_pressure(rho, params), 0.0),
-        alive=ok, step=sim.step)
+        idx=idx, alive=ok, step=sim.step)
+
+
+def extract_fluid_state(sim: ShardedDenseSim, spec: sh.ShardSpec,
+                        params: FluidParams, n: int) -> FluidState:
+    """ORIGINAL-order per-particle FluidState from the sharded dense state
+    (off the hot path): one stacked dense->[N] scatter keyed by the tracked
+    idx plane — the same contract as the single-chip
+    ``verlet_solver.extract_fields``, so multi-chip runs support the
+    reference-style particle-i-to-particle-i parity gates
+    (reference: examples/gpu_parity10.rs:104-139) and original-order
+    checkpoint/resume.  Particles dropped to capacity/migration limits come
+    back as FAR positions, zero velocity, analytic self-density."""
+    g = spec.local_grid
+
+    def real(a):
+        # [D, ny, cap, nx] real slots of every device, flattened together
+        return jax.lax.slice(
+            a, (0, g.row0, 0, 1),
+            (a.shape[0], g.row0 + g.ny, g.cap, 1 + g.nx)).reshape(-1)
+
+    idx = real(sim.idx_d)
+    vals = jnp.stack([real(sim.xd), real(sim.yd), real(sim.vxd),
+                      real(sim.vyd), real(sim.rho_d)], axis=-1)
+    safe = jnp.where(idx >= 0, idx, n + (1 << 20))
+    h2 = params.h * params.h
+    self_rho = params.m * (4.0 / (jnp.pi * h2 ** 4)) * h2 ** 3
+    init = jnp.broadcast_to(
+        jnp.stack([jnp.float32(FAR), jnp.float32(FAR), jnp.float32(0.0),
+                   jnp.float32(0.0), self_rho]), (n, 5))
+    out = init.at[safe].set(vals, mode="drop")
+    rho = out[:, 4]
+    z = jnp.zeros((n,), jnp.float32)
+    return FluidState(x=out[:, 0], y=out[:, 1], vx=out[:, 2], vy=out[:, 3],
+                      ax=z, ay=z, rho=rho, p=eos_pressure(rho, params),
+                      step=sim.step)

@@ -234,6 +234,8 @@ def _field_kernel(pr, occ, x_hbm, y_hbm, out_ref, xs, ys, sems, *,
 
     h = pr[0, 0]
     m = pr[0, 1]
+    ox = pr[0, 5]    # world origin as DATA (slots 5/6 of the params vec):
+    oy = pr[0, 6]    # the sharded renderer passes each device's slab origin
     h2 = h * h
     cs = grid.cell_size
     npp = P * P
@@ -244,9 +246,9 @@ def _field_kernel(pr, occ, x_hbm, y_hbm, out_ref, xs, ys, sems, *,
     rowi = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     sub = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     # pixel world coords: sublane s = sy*P + sx subpixel of the cell
-    px = grid.origin_x + (lane.astype(jnp.float32) - 1.0) * cs \
+    px = ox + (lane.astype(jnp.float32) - 1.0) * cs \
         + ((sub % P).astype(jnp.float32) + 0.5) * (cs / P)
-    py = grid.origin_y \
+    py = oy \
         + ((r + 1) * tb + rowi - grid.row0).astype(jnp.float32) * cs \
         + ((sub // P).astype(jnp.float32) + 0.5) * (cs / P)
 
@@ -276,26 +278,38 @@ def _field_kernel(pr, occ, x_hbm, y_hbm, out_ref, xs, ys, sems, *,
 
 def field_density_pallas(xd: jax.Array, yd: jax.Array, params: FluidParams,
                          grid, px_per_cell: int = 2,
-                         interpret: bool | None = None) -> jax.Array:
+                         interpret: bool | None = None,
+                         origin=None) -> jax.Array:
     """``field_density`` as one fused Pallas stencil kernel; same contract
     (float[ny*P, nx*P], world orientation), results identical up to f32
-    summation order."""
+    summation order.  ``origin`` overrides the grid's static world origin
+    with traced values (the sharded renderer passes each device's slab
+    origin, like the solver stencils' binning does)."""
     import functools
 
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    from ..models.pallas_solver import _interpret_default, _params_vec
+    from ..models.pallas_solver import _interpret_default
     from ..ops.reslot import block_kmax3
 
     if interpret is None:
         interpret = _interpret_default()
+    if origin is None:
+        origin = (grid.origin_x, grid.origin_y)
     P = px_per_cell
     tb = grid.row_block
     npp = P * P
     kernel = functools.partial(_field_kernel, tb=tb, P=P, grid=grid)
     slab = pltpu.VMEM((tb + 2, grid.cap, grid.nx_pad), jnp.float32)
     occ = block_kmax3(xd, grid)
+    pvec = jnp.stack([
+        jnp.asarray(params.h, jnp.float32),
+        jnp.asarray(params.m, jnp.float32),
+        jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+        jnp.asarray(origin[0], jnp.float32),
+        jnp.asarray(origin[1], jnp.float32),
+        jnp.float32(0.0)]).reshape(1, 8)
     out = pl.pallas_call(
         kernel,
         grid=(grid.n_row_blocks,),
@@ -316,7 +330,7 @@ def field_density_pallas(xd: jax.Array, yd: jax.Array, params: FluidParams,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(_params_vec(params), occ, xd, yd)
+    )(pvec, occ, xd, yd)
 
     ny, nx = grid.ny, grid.nx
     real = jax.lax.slice(out, (grid.row0, 0, 1), (grid.row0 + ny, npp,

@@ -5,6 +5,20 @@ state back into ``SPHState`` every readback cycle as a de-facto snapshot
 (reference: examples/gpu_demo.rs:116-127).  Here the SoA state is a pytree, so
 save/restore is exact and trivial: npz for single-host, orbax available for
 async/multi-host when needed.
+
+Three granularities:
+
+* ``save``/``load`` — per-particle ``FluidState`` (+ params/cfg), portable
+  across grids and solvers;
+* ``save_dense``/``load_dense`` — the verlet flagship's RESIDENT ``DenseSim``
+  with its grid geometry: restore continues bitwise-identically (slot
+  structure, skin references, and rebin counters all preserved — a re-init
+  from an extracted FluidState would re-sort and reset the deferred-rebin
+  state);
+* ``save_sharded``/``load_sharded`` — the multi-chip ``ShardedDenseSim``
+  with its ``ShardSpec``; identity (idx planes) round-trips, so a sharded
+  run can also be restored onto a DIFFERENT device count via
+  ``shard_verlet.extract_fluid_state`` + re-shard.
 """
 
 from __future__ import annotations
@@ -15,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.params import FluidParams, IntegrateConfig
+from ..core.params import FluidParams, IntegrateConfig, GridSpec2D
 from ..core.state import FluidState
 
 
@@ -55,3 +69,87 @@ def load(path: str) -> tuple[FluidState, FluidParams | None,
     params = FluidParams(**pkw) if pkw else None
     cfg = IntegrateConfig(**ckw) if ckw else None
     return state, params, cfg
+
+
+# ---------------------------------------------------------------------------
+# Resident-state checkpointing (DenseSim / ShardedDenseSim)
+# ---------------------------------------------------------------------------
+
+_GRID_META = ("origin_x", "origin_y", "cell_size", "nx", "ny", "cap",
+              "row_block")
+_GRID_INTS = {"nx", "ny", "cap", "row_block"}
+
+
+def _grid_arrays(prefix: str, grid: GridSpec2D) -> dict:
+    return {f"{prefix}{k}": np.asarray(getattr(grid, k))
+            for k in _GRID_META}
+
+
+def _grid_from(z, prefix: str) -> GridSpec2D:
+    kw = {k: (int(z[f"{prefix}{k}"]) if k in _GRID_INTS
+              else float(z[f"{prefix}{k}"])) for k in _GRID_META}
+    return GridSpec2D(**kw)
+
+
+def save_dense(path: str, sim, grid: GridSpec2D, params: FluidParams,
+               cfg: IntegrateConfig, n: int) -> None:
+    """Snapshot a verlet ``DenseSim`` (models/verlet_solver.py) with its
+    static grid geometry and physics — everything a ``Session.restore``
+    needs to continue bitwise-identically."""
+    arrays = {f"sim.{k}": np.asarray(v)
+              for k, v in dataclasses.asdict(sim).items()}
+    arrays.update(_grid_arrays("grid.", grid))
+    arrays.update({f"params.{k}": np.asarray(v)
+                   for k, v in dataclasses.asdict(params).items()})
+    arrays.update({f"cfg.{k}": np.asarray(v)
+                   for k, v in dataclasses.asdict(cfg).items()})
+    arrays["meta.n"] = np.asarray(n)
+    np.savez(_norm(path), **arrays)
+
+
+def load_dense(path: str):
+    """Returns (DenseSim, GridSpec2D, FluidParams, IntegrateConfig, n)."""
+    from ..models.verlet_solver import DenseSim
+    z = np.load(_norm(path))
+    sim = DenseSim(**_group(z, "sim."))
+    grid = _grid_from(z, "grid.")
+    params = FluidParams(**_group(z, "params."))
+    cfg = IntegrateConfig(**_group(z, "cfg."))
+    return sim, grid, params, cfg, int(z["meta.n"])
+
+
+def save_sharded(path: str, sim, spec, params: FluidParams,
+                 cfg: IntegrateConfig, n: int) -> None:
+    """Snapshot a multi-chip ``ShardedDenseSim`` (parallel/shard_verlet.py)
+    with its ``ShardSpec`` decomposition and physics."""
+    arrays = {f"sim.{k}": np.asarray(v)
+              for k, v in dataclasses.asdict(sim).items()}
+    arrays.update(_grid_arrays("spec.local_grid.", spec.local_grid))
+    for k in ("n_devices", "nx_local", "global_x0", "capacity", "mig_cap"):
+        arrays[f"spec.{k}"] = np.asarray(getattr(spec, k))
+    arrays.update({f"params.{k}": np.asarray(v)
+                   for k, v in dataclasses.asdict(params).items()})
+    arrays.update({f"cfg.{k}": np.asarray(v)
+                   for k, v in dataclasses.asdict(cfg).items()})
+    arrays["meta.n"] = np.asarray(n)
+    np.savez(_norm(path), **arrays)
+
+
+def load_sharded(path: str):
+    """Returns (ShardedDenseSim, ShardSpec, FluidParams, IntegrateConfig,
+    n).  The arrays come back host-resident; the first jitted step re-lays
+    them out over whatever mesh the rebuilt step function runs on."""
+    from ..parallel.shard import ShardSpec
+    from ..parallel.shard_verlet import ShardedDenseSim
+    z = np.load(_norm(path))
+    sim = ShardedDenseSim(**_group(z, "sim."))
+    spec = ShardSpec(
+        n_devices=int(z["spec.n_devices"]),
+        nx_local=int(z["spec.nx_local"]),
+        local_grid=_grid_from(z, "spec.local_grid."),
+        global_x0=float(z["spec.global_x0"]),
+        capacity=int(z["spec.capacity"]),
+        mig_cap=int(z["spec.mig_cap"]))
+    params = FluidParams(**_group(z, "params."))
+    cfg = IntegrateConfig(**_group(z, "cfg."))
+    return sim, spec, params, cfg, int(z["meta.n"])

@@ -5,7 +5,7 @@ The analog of the reference's opt-in ``readback_and_compare`` system
 rho/p/acc against the CPU state at 1% relative tolerance (+0.5 absolute on
 acceleration) and panicked on failure (buffers.rs:564-567, :689).
 
-Two entry points:
+Three entry points:
 
 * ``validate(state, params)`` — full rho/p/acc check for states whose
   acceleration fields are populated (e.g. after
@@ -14,6 +14,14 @@ Two entry points:
   tolerances (rho <=1% rel, p <=30 abs, reference:
   examples/gpu_parity10.rs:18-19); works on ANY solver's returned state
   (verlet/pallas don't materialize per-particle accelerations).
+* ``validate_accelerated(state, params, grid, stencils)`` — full rho/p/acc
+  check for ANY solver: re-evaluates the fields through the accelerated
+  stencil path at the state's current positions (one extra density+forces
+  eval — the analog of the reference's readback) and diffs against the
+  golden model at the in-engine tolerances.  This is what
+  ``Simulation(validate_every=K)`` runs for the verlet/pallas solvers,
+  matching the reference validator's coverage (rho, p, AND acc,
+  reference: src/gpu/buffers.rs:564-567).
 
 On failure both raise ``ParityError`` (the reference panicked) with the
 reference's failure diagnostics: the top-3 offending particles with their
@@ -119,6 +127,23 @@ def validate(state: FluidState, params: FluidParams,
         raise ParityError(
             f"{report}\n{top_offenders('rho-rel', rho_err, state)}")
     return report
+
+
+def validate_accelerated(state: FluidState, params: FluidParams, grid,
+                         stencils=None, rel_tol: float = REL_TOL,
+                         acc_abs_tol: float = ACC_ABS_TOL,
+                         raise_on_fail: bool = True) -> ParityReport:
+    """Full-coverage runtime check for solvers whose states don't carry
+    accelerations (verlet/pallas): recompute rho/p/ax/ay through the
+    ACCELERATED path (binning + the given stencils) at the state's current
+    positions/velocities, then run the in-engine rho/p/acc comparison
+    against the O(N^2) golden model.  Checks the actual production kernels
+    — exactly what the reference's readback_and_compare validated (GPU
+    kernel output vs CPU model, reference: src/gpu/buffers.rs:554-695)."""
+    from ..models import grid_solver
+    acc_state, _ = grid_solver.compute_rho_p_acc(
+        state, params, grid, stencils or grid_solver.XLA_STENCILS)
+    return validate(acc_state, params, rel_tol, acc_abs_tol, raise_on_fail)
 
 
 def validate_fields(state: FluidState, params: FluidParams,

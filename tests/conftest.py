@@ -23,3 +23,75 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.jax_cache_cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import pytest  # noqa: E402
+
+SVERLET_STEPS = 25
+
+
+@pytest.fixture(scope="session")
+def sverlet_d4():
+    """ONE shared D=4 multi-chip scene, run through every solver the
+    multi-chip gates compare (the D=4 compiles + stepwise block_until_ready
+    loops on this 1-core rig are the dominant suite cost, so the
+    test_shard_verlet*.py files all draw on this single fixture).
+
+    Scene: a wide shallow block spanning ALL FOUR slabs (80 x 8 lattice,
+    x in [-0.98, 2.18]), kicked right at 3.0 — migration crosses every
+    interior slab boundary and several collective rebins fire within
+    SVERLET_STEPS steps.
+
+    Returns dict with keys:
+      'spec', 'state', 'n'  — decomposition, initial state, particle count
+      'xla'    — ShardedDenseSim after the sharded-verlet run, XLA stencils
+      'pallas' — same, Pallas-interpret stencils
+      'eager'  — (ShardedState, ShardDiag) after the eager sharded run
+      'single' — FluidState after the single-chip verlet flagship run on
+                 the equivalent (same cell size) global grid
+    """
+    import jax.numpy as jnp
+
+    import bevy_gpu_fluid_tpu as bgf
+    from bevy_gpu_fluid_tpu.models import pallas_solver, verlet_solver
+    from bevy_gpu_fluid_tpu.parallel import shard, shard_verlet
+
+    params = bgf.FluidParams.demo()
+    cfg = bgf.IntegrateConfig.create(x_min=-1.0, x_max=2.5)
+    spec = shard.ShardSpec.build(h=0.045 * 1.5, x_min=-1.0, x_max=2.5,
+                                 y_max=3.0, n_devices=4, capacity=1024)
+    mesh = shard.make_mesh(4)
+
+    state = bgf.init_grid(80, 8, 0.04)
+    state = state.replace(x=state.x - 0.98,
+                          vx=jnp.full((state.n,), 4.0))
+
+    def run_sharded(stencils):
+        init_fn, step_fn = shard_verlet.make_sharded_verlet_step(
+            params, cfg, spec, mesh, stencils=stencils)
+        sim = init_fn(shard.shard_state(state, spec))
+        for _ in range(SVERLET_STEPS):
+            sim = step_fn(sim)
+            # low-core hosts: one multi-device execution in flight at a time
+            jax.block_until_ready(sim.xd)
+        return sim
+
+    runs = {"spec": spec, "state": state, "n": state.n, "params": params,
+            "cfg": cfg}
+    runs["xla"] = run_sharded(None)
+    runs["pallas"] = run_sharded(
+        pallas_solver.make_stencils(spec.local_grid, interpret=True))
+
+    eager = shard.make_sharded_step(params, cfg, spec, mesh)
+    se = shard.shard_state(state, spec)
+    diag = None
+    for _ in range(SVERLET_STEPS):
+        se, diag = eager(se)
+        jax.block_until_ready(se.x)
+    runs["eager"] = (se, diag)
+
+    grid1 = verlet_solver.default_grid(0.045, -1.0, 2.5, y_max=3.0, cap=8)
+    single, sdiag, _ = jax.jit(lambda s: verlet_solver.multi_step(
+        s, params, cfg, grid1, SVERLET_STEPS))(state)
+    assert int(sdiag.overflow) == 0
+    runs["single"] = single
+    return runs

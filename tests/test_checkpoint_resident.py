@@ -1,0 +1,103 @@
+"""Resident-state checkpointing: Session (DenseSim) and ShardedDenseSim.
+
+VERDICT round-2 gap #2: utils/checkpoint covered FluidState only, so a
+resident Session or a sharded run could not snapshot/restore its dense
+representation — restoring via an extracted state re-sorts and resets the
+deferred-rebin machinery (skin references, age, rebin counters), changing
+the subsequent trajectory's summation order.  ``Session.save/restore`` and
+``checkpoint.save_sharded/load_sharded`` snapshot the resident pytrees
+directly: continuation is BITWISE identical to the uninterrupted run,
+rebin counters included.  (The reference's only snapshot was its CPU
+readback mirror, reference: examples/gpu_demo.rs:116-127.)"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bevy_gpu_fluid_tpu import FluidParams, IntegrateConfig, init_grid
+from bevy_gpu_fluid_tpu.models import verlet_solver
+from bevy_gpu_fluid_tpu.parallel import shard, shard_verlet
+from bevy_gpu_fluid_tpu.utils import checkpoint
+
+PARAMS = FluidParams.demo()
+CFG = IntegrateConfig.create(x_min=-1.0, x_max=2.5)
+GRID = verlet_solver.default_grid(0.045, -1.0, 2.5, y_max=3.0, cap=8)
+
+
+def _assert_sims_bitwise(a, b):
+    for f in dataclasses.fields(a):
+        va = np.asarray(getattr(a, f.name))
+        vb = np.asarray(getattr(b, f.name))
+        np.testing.assert_array_equal(va, vb, err_msg=f.name)
+
+
+def test_session_restore_continues_bitwise(tmp_path):
+    """Uninterrupted 60-step run == 30 steps + save + restore + 30 steps,
+    bit for bit, including the rebin counter and skin references."""
+    state = init_grid(24, 24, 0.04)
+    path = str(tmp_path / "sess")
+
+    a = verlet_solver.Session(state, PARAMS, CFG, GRID)
+    a.run(30)
+    a.save(path)
+    a.run(30)
+
+    b = verlet_solver.Session.restore(path)
+    assert b.n == state.n
+    assert int(b.sim.step) == 30
+    b.run(30)
+
+    _assert_sims_bitwise(a.sim, b.sim)
+    sa, sb = a.state(), b.state()
+    np.testing.assert_array_equal(np.asarray(sa.x), np.asarray(sb.x))
+    np.testing.assert_array_equal(np.asarray(sa.vx), np.asarray(sb.vx))
+    np.testing.assert_array_equal(np.asarray(sa.rho), np.asarray(sb.rho))
+    assert int(a.sim.rebin_count) == int(b.sim.rebin_count)
+    assert a.overflow == b.overflow == 0
+
+
+def test_session_restore_rebuilds_physics(tmp_path):
+    """The restored Session steps with the SAVED params/cfg (not whatever a
+    fresh constructor would default to) — a kicked run keeps its kick."""
+    state = init_grid(16, 16, 0.04)
+    path = str(tmp_path / "sess2")
+    a = verlet_solver.Session(state, PARAMS, CFG, GRID)
+    a.kick(0.3, 0.3, 1.0, 0.0, impulse=5.0)
+    a.run(10)
+    a.save(path)
+    b = verlet_solver.Session.restore(path)
+    a.run(10)
+    b.run(10)
+    np.testing.assert_array_equal(np.asarray(a.state().x),
+                                  np.asarray(b.state().x))
+
+
+def test_sharded_save_restore_continues_bitwise(tmp_path, sverlet_d4):
+    """A D=4 sharded run restored from its resident snapshot continues
+    bitwise-identically (same mesh, same step fn)."""
+    runs = sverlet_d4
+    spec = runs["spec"]
+    path = str(tmp_path / "sharded")
+    checkpoint.save_sharded(path, runs["xla"], spec, runs["params"],
+                            runs["cfg"], runs["n"])
+    sim_l, spec_l, params_l, cfg_l, n_l = checkpoint.load_sharded(path)
+    assert spec_l == spec
+    assert n_l == runs["n"]
+    _assert_sims_bitwise(runs["xla"], sim_l)
+
+    mesh = shard.make_mesh(4)
+    _, step_fn = shard_verlet.make_sharded_verlet_step(
+        params_l, cfg_l, spec_l, mesh)
+    a, b = runs["xla"], sim_l
+    for _ in range(5):
+        a = step_fn(a)
+        jax.block_until_ready(a.xd)
+        b = step_fn(b)
+        jax.block_until_ready(b.xd)
+    _assert_sims_bitwise(a, b)
+    # identity intact after resume
+    ids = np.asarray(b.idx_d).reshape(-1)
+    ids = np.sort(ids[ids >= 0])
+    assert (ids == np.arange(runs["n"])).all()

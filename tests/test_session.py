@@ -59,7 +59,6 @@ def test_session_kick_matches_particle_impulse():
     got = sess.state()
     np.testing.assert_array_equal(np.asarray(got.vx), np.asarray(ref.vx))
     np.testing.assert_array_equal(np.asarray(got.vy), np.asarray(ref.vy))
-    assert float(jnp.max(jnp.abs(got.vx - sess.state().vx))) == 0.0
     # and the sim keeps running finitely after the kick
     sess.run(20)
     assert sess.overflow == 0

