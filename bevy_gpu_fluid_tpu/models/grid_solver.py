@@ -57,10 +57,12 @@ def _nbr(a: jax.Array, dy: int, dx: int) -> jax.Array:
     return jnp.roll(a, (-dy, -dx), axis=(0, 2))
 
 
-def density_xla(xd, yd, params: FluidParams) -> jax.Array:
+def density_xla(xd, yd, params: FluidParams, occ=None) -> jax.Array:
     """rho over dense slots: m * sum over 3x3-cell neighbour slots of
     W_poly6(r^2) gated by r^2 < h^2 (reference: sph_density.wgsl:113-163).
-    Self term included via the center offset's own slot."""
+    Self term included via the center offset's own slot.  ``occ`` is
+    accepted for stencil-interface compatibility and ignored (the XLA
+    stencils unroll all cap slots)."""
     h = params.h
     h2 = h * h
     cap = xd.shape[1]
@@ -77,7 +79,7 @@ def density_xla(xd, yd, params: FluidParams) -> jax.Array:
 
 
 def forces_xla(xd, yd, vxd, vyd, rho_d,
-               params: FluidParams) -> tuple[jax.Array, jax.Array]:
+               params: FluidParams, occ=None) -> tuple[jax.Array, jax.Array]:
     """Pressure + viscosity accelerations over dense slots
     (reference: sph_density.wgsl:178-250):
        a_p = -m (p_i + p_j) / (2 rho_j) gradW_spiky(r)

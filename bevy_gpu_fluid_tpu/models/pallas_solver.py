@@ -63,7 +63,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.params import FluidParams, IntegrateConfig, GridSpec2D
+from ..core.params import (FluidParams, IntegrateConfig, GridSpec2D,
+                           GRAVITY_Y)
 from ..core.state import FluidState
 from . import grid_solver
 
@@ -240,9 +241,148 @@ def _forces_kernel(pr, occ, x_hbm, y_hbm, vx_hbm, vy_hbm, rho_hbm,
     ay_ref[...] = ay
 
 
+def _forces_integrate_kernel(pr, occ, x_hbm, y_hbm, vx_hbm, vy_hbm, rho_hbm,
+                             refx_hbm, refy_hbm,
+                             ox_ref, oy_ref, ovx_ref, ovy_ref, disp_ref,
+                             xs, ys, vxs, vys, ps, irs, rxs, rys, sems, *,
+                             tb, adaptive):
+    """Forces + semi-implicit Euler + bounce box + skin-displacement max,
+    fused into ONE pass (VERDICT r3 item 3).  Same pair arithmetic as
+    ``_forces_kernel``; the epilogue integrates in-register — the
+    accelerations never touch HBM, the separate integrate pass disappears,
+    and the per-step skin trigger collapses to a per-block max written to a
+    tiny [n_blocks, 128] output (the full-array displacement reduction is
+    gone; the solver stores the scalar and checks it NEXT step, which reads
+    the same positions the old pre-step reduction did)."""
+    r = pl.program_id(0)
+    row_start = (r + 1) * tb - 1
+    copies = [
+        _copy_slab(x_hbm, xs, sems.at[0], row_start, tb + 2),
+        _copy_slab(y_hbm, ys, sems.at[1], row_start, tb + 2),
+        _copy_slab(vx_hbm, vxs, sems.at[2], row_start, tb + 2),
+        _copy_slab(vy_hbm, vys, sems.at[3], row_start, tb + 2),
+        _copy_slab(rho_hbm, ps, sems.at[4], row_start, tb + 2),
+        _copy_slab(refx_hbm, rxs, sems.at[5], row_start + 1, tb),
+        _copy_slab(refy_hbm, rys, sems.at[6], row_start + 1, tb),
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    h = pr[0, 0]
+    m = pr[0, 1]
+    rho0 = pr[0, 2]
+    k = pr[0, 3]
+    mu = pr[0, 4]
+    dt = pr[1, 0]
+    x_min = pr[1, 1]
+    x_max = pr[1, 2]
+    bounce = pr[1, 3]
+    floor_y = pr[1, 4]
+    h2 = h * h
+    h5 = (h2 * h2) * h
+    spiky_c = -10.0 / (jnp.pi * h5)
+    visc_c = 40.0 / (jnp.pi * h5)
+    cap = xs.shape[1]
+
+    rho_slab = ps[...]
+    irs[...] = 1.0 / jnp.maximum(rho_slab, 1e-12)
+    ps[...] = k * jnp.maximum(rho_slab - rho0, 0.0)
+
+    xi = _shift(xs[...], 0, tb)
+    yi = _shift(ys[...], 0, tb)
+    vxi = _shift(vxs[...], 0, tb)
+    vyi = _shift(vys[...], 0, tb)
+    pi_ = _shift(ps[...], 0, tb)
+
+    kmax = jnp.maximum(jnp.maximum(occ[0, r], occ[1, r]),
+                       occ[2, r]) if adaptive else cap
+
+    # Same pair arithmetic as _forces_kernel.  Tried and rejected
+    # (tools/exp_forces.py + bench A/B on the chip): factoring v_i out of
+    # the viscous sum via a third sum(fac_v) accumulator — the extra
+    # full-tile fori carry costs more than the subtract it saves
+    # (2.57 vs 2.15 ms/step at 1M); re-associating the fac_p constants —
+    # neutral-to-slower; dropping rsqrt entirely only bought ~10%, so the
+    # kernel is at the practical VPU limit for this formulation.
+    def body(kj, carry):
+        ax, ay = carry
+        xkf = xs[:, pl.ds(kj, 1), :]
+        ykf = ys[:, pl.ds(kj, 1), :]
+        vxkf = vxs[:, pl.ds(kj, 1), :]
+        vykf = vys[:, pl.ds(kj, 1), :]
+        pkf = ps[:, pl.ds(kj, 1), :]
+        ikf = irs[:, pl.ds(kj, 1), :]
+        for dx in (-1, 0, 1):
+            rxf, ryf = _roll(xkf, dx), _roll(ykf, dx)
+            rvxf, rvyf = _roll(vxkf, dx), _roll(vykf, dx)
+            rpf, rif = _roll(pkf, dx), _roll(ikf, dx)
+            for dy in (-1, 0, 1):
+                rx, ry = _shift(rxf, dy, tb), _shift(ryf, dy, tb)
+                rvx, rvy = _shift(rvxf, dy, tb), _shift(rvyf, dy, tb)
+                rp, ri = _shift(rpf, dy, tb), _shift(rif, dy, tb)
+                ddx = xi - rx
+                ddy = yi - ry
+                r2 = ddx * ddx + ddy * ddy
+                # branch-free gating, as _forces_kernel (see its comment)
+                inv_r = jax.lax.rsqrt(r2 + _EPS * _EPS)
+                dist = r2 * inv_r
+                hr = jnp.maximum(h - dist, 0.0)
+                fac_p = (-m * 0.5) * (pi_ + rp) * ri \
+                    * (spiky_c * hr * hr * inv_r)
+                fac_v = (mu * m * visc_c) * ri * hr
+                ax = ax + (fac_p * ddx + fac_v * (rvx - vxi))
+                ay = ay + (fac_p * ddy + fac_v * (rvy - vyi))
+        return ax, ay
+    ax, ay = jax.lax.fori_loop(0, kmax, body,
+                               (jnp.zeros_like(xi), jnp.zeros_like(xi)))
+
+    # ---- fused integrate + bounce (reference: sph_density.wgsl
+    # integrate_main :252-278), masked so FAR stays FAR ----
+    live = xi < 1e8          # FAR * 0.5 gate, FAR from ops.binning
+    vx = vxi + (ax) * dt
+    vy = vyi + (ay + GRAVITY_Y) * dt
+    x = xi + vx * dt
+    y = yi + vy * dt
+    below = y < floor_y
+    y = jnp.where(below, floor_y, y)
+    vy = jnp.where(below, vy * bounce, vy)
+    right = x > x_max
+    x = jnp.where(right, x_max, x)
+    vx = jnp.where(right, vx * bounce, vx)
+    left = x < x_min
+    x = jnp.where(left, x_min, x)
+    vx = jnp.where(left, vx * bounce, vx)
+    x = jnp.where(live, x, xi)
+    y = jnp.where(live, y, yi)
+    ox_ref[...] = x
+    oy_ref[...] = y
+    ovx_ref[...] = jnp.where(live, vx, 0.0)
+    ovy_ref[...] = jnp.where(live, vy, 0.0)
+
+    # skin displacement of the NEW positions vs the rebin reference
+    # (dead slots: x == xi == ref pattern FAR -> contribute 0 via mask)
+    drx = x - rxs[...]
+    dry = y - rys[...]
+    d2 = jnp.where(live, drx * drx + dry * dry, 0.0)
+    # (1, 8, 128): smallest output block satisfying the f32 min-tile rule
+    disp_ref[...] = jnp.full((1, 8, 128), jnp.max(d2), jnp.float32)
+
+
 def _params_vec(params: FluidParams) -> jax.Array:
     return jnp.stack([params.h, params.m, params.rho_0, params.k,
                       params.mu, 0.0, 0.0, 0.0]).reshape(1, 8)
+
+
+def _params_cfg_vec(params: FluidParams, cfg: IntegrateConfig) -> jax.Array:
+    """[2, 8] SMEM params: row 0 = physics (as _params_vec), row 1 =
+    integration config for the fused forces+integrate kernel."""
+    z = jnp.float32(0.0)
+    return jnp.stack([params.h, params.m, params.rho_0, params.k, params.mu,
+                      z, z, z,
+                      cfg.dt, cfg.x_min, cfg.x_max, cfg.bounce, cfg.floor_y,
+                      z, z, z]).reshape(2, 8)
 
 
 def _slab(grid: GridSpec2D):
@@ -255,13 +395,19 @@ from ..ops.reslot import block_kmax3  # shared per-dy j-slot loop bounds
 
 def density_pallas(xd, yd, params: FluidParams, grid: GridSpec2D,
                    interpret: bool | None = None,
-                   adaptive: bool = True) -> jax.Array:
-    """Fused density stencil over the dense grid. Returns rho_d."""
+                   adaptive: bool = True, occ=None) -> jax.Array:
+    """Fused density stencil over the dense grid. Returns rho_d.
+
+    ``occ`` optionally supplies precomputed ``block_kmax3`` bounds: the
+    occupancy pattern is a function of the SLOT STRUCTURE only, which is
+    frozen between rebins, so the verlet solver computes it once per rebin
+    instead of paying a full-array reduction per kernel call."""
     if interpret is None:
         interpret = _interpret_default()
     tb = grid.row_block
     kernel = functools.partial(_density_kernel, tb=tb, adaptive=adaptive)
-    occ = block_kmax3(xd, grid)
+    if occ is None:
+        occ = block_kmax3(xd, grid)
     rho = pl.pallas_call(
         kernel,
         grid=(grid.n_row_blocks,),
@@ -294,14 +440,16 @@ def density_pallas(xd, yd, params: FluidParams, grid: GridSpec2D,
 
 def forces_pallas(xd, yd, vxd, vyd, rho_d, params: FluidParams,
                   grid: GridSpec2D, interpret: bool | None = None,
-                  adaptive: bool = True):
+                  adaptive: bool = True, occ=None):
     """Fused pressure+viscosity acceleration over the dense grid (EOS and
-    1/rho derived in-kernel). Returns (ax_d, ay_d)."""
+    1/rho derived in-kernel). Returns (ax_d, ay_d).  ``occ`` as in
+    ``density_pallas``."""
     if interpret is None:
         interpret = _interpret_default()
     tb = grid.row_block
     kernel = functools.partial(_forces_kernel, tb=tb, adaptive=adaptive)
-    occ = block_kmax3(xd, grid)
+    if occ is None:
+        occ = block_kmax3(xd, grid)
     out = jax.ShapeDtypeStruct(xd.shape, jnp.float32)
     block = pl.BlockSpec((tb, grid.cap, grid.nx_pad), lambda r: (r + 1, 0, 0))
     return pl.pallas_call(
@@ -321,15 +469,70 @@ def forces_pallas(xd, yd, vxd, vyd, rho_d, params: FluidParams,
     )(_params_vec(params), occ, xd, yd, vxd, vyd, rho_d)
 
 
+def forces_integrate_pallas(xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd,
+                            params: FluidParams, cfg: IntegrateConfig,
+                            grid: GridSpec2D,
+                            interpret: bool | None = None,
+                            adaptive: bool = True, occ=None):
+    """Fused forces + integrate + bounce + skin-displacement pass.
+
+    Returns (xd', yd', vxd', vyd', disp2) where disp2 is the max squared
+    displacement of the new positions from the rebin reference — the value
+    the NEXT step's rebin trigger needs (stored on the sim, replacing the
+    full-array reduction).  Accelerations never reach HBM."""
+    if interpret is None:
+        interpret = _interpret_default()
+    tb = grid.row_block
+    kernel = functools.partial(_forces_integrate_kernel, tb=tb,
+                               adaptive=adaptive)
+    if occ is None:
+        occ = block_kmax3(xd, grid)
+    out = jax.ShapeDtypeStruct(xd.shape, jnp.float32)
+    dshape = jax.ShapeDtypeStruct((grid.n_row_blocks, 8, 128), jnp.float32)
+    block = pl.BlockSpec((tb, grid.cap, grid.nx_pad), lambda r: (r + 1, 0, 0))
+    dblock = pl.BlockSpec((1, 8, 128), lambda r: (r, 0, 0))
+    slab = _slab(grid)
+    ref_slab = pltpu.VMEM((tb, grid.cap, grid.nx_pad), jnp.float32)
+    ox, oy, ovx, ovy, disp = pl.pallas_call(
+        kernel,
+        grid=(grid.n_row_blocks,),
+        in_specs=[pl.BlockSpec((2, 8), lambda r: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((3, grid.n_row_blocks), lambda r: (0, 0),
+                               memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 7,
+        out_specs=(block, block, block, block, dblock),
+        out_shape=(out, out, out, out, dshape),
+        scratch_shapes=[slab] * 6 + [ref_slab] * 2
+        + [pltpu.SemaphoreType.DMA((7,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(_params_cfg_vec(params, cfg), occ, xd, yd, vxd, vyd, rho_d,
+      ref_xd, ref_yd)
+    # outer ghost blocks are never written: pin to the empty-slot fills so
+    # the next kernel's halo DMA and the reslot candidates read FAR/0, not
+    # recycled-buffer garbage (same invariant as density_pallas)
+    from ..ops.binning import FAR
+    ox = ox.at[:tb].set(FAR).at[-tb:].set(FAR)
+    oy = oy.at[:tb].set(FAR).at[-tb:].set(FAR)
+    ovx = ovx.at[:tb].set(0.0).at[-tb:].set(0.0)
+    ovy = ovy.at[:tb].set(0.0).at[-tb:].set(0.0)
+    return ox, oy, ovx, ovy, jnp.max(disp)
+
+
 def make_stencils(grid: GridSpec2D, interpret: bool | None = None,
                   adaptive: bool = True):
-    """Stencil pair pluggable into grid_solver's step glue."""
-    def density_fn(xd, yd, params):
-        return density_pallas(xd, yd, params, grid, interpret, adaptive)
+    """Stencil pair pluggable into grid_solver's step glue.  Both fns
+    accept an optional ``occ=`` keyword (precomputed block_kmax3 bounds);
+    callers that don't pass it get a per-call recompute."""
+    def density_fn(xd, yd, params, occ=None):
+        return density_pallas(xd, yd, params, grid, interpret, adaptive,
+                              occ=occ)
 
-    def forces_fn(xd, yd, vxd, vyd, rho_d, params):
+    def forces_fn(xd, yd, vxd, vyd, rho_d, params, occ=None):
         return forces_pallas(xd, yd, vxd, vyd, rho_d, params, grid,
-                             interpret, adaptive)
+                             interpret, adaptive, occ=occ)
     return density_fn, forces_fn
 
 

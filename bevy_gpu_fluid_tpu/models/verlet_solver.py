@@ -59,8 +59,8 @@ from . import grid_solver, pallas_solver
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=("xd", "yd", "vxd", "vyd", "rho_d", "ref_xd", "ref_yd",
-                      "idx_d", "age", "overflow", "lost", "rebin_count",
-                      "step"),
+                      "idx_d", "occ", "disp2", "age", "overflow", "lost",
+                      "rebin_count", "step"),
          meta_fields=())
 @dataclasses.dataclass
 class DenseSim:
@@ -73,6 +73,16 @@ class DenseSim:
     ref_xd/ref_yd: positions at the last rebin (for the skin trigger)
     idx_d:         int32[ny_pad, cap, nx_pad] original particle index per
                    slot (-1 = empty) — identity for on-demand extraction
+    occ:           int32[3, n_row_blocks] cached block_kmax3 slot-loop
+                   bounds — the occupancy pattern is a function of the slot
+                   structure, which is FROZEN between rebins, so it is
+                   computed once per rebin instead of per kernel call
+                   (saves two full-array reductions per step)
+    disp2:         f32 scalar: max squared displacement from the rebin
+                   reference, computed at the END of the previous step
+                   (in-kernel on the fused path) — the rebin trigger reads
+                   it instead of re-reducing the dense arrays; identical
+                   value by construction (same positions, same reference)
     age:           int32 steps since last rebin
     overflow:      int32 cumulative particles dropped to cell capacity
     lost:          int32 cumulative particles missed by the reslot window
@@ -89,6 +99,8 @@ class DenseSim:
     ref_xd: jax.Array
     ref_yd: jax.Array
     idx_d: jax.Array
+    occ: jax.Array
+    disp2: jax.Array
     age: jax.Array
     overflow: jax.Array
     lost: jax.Array
@@ -113,7 +125,9 @@ def init_dense(state: FluidState, grid: GridSpec2D) -> DenseSim:
     idx_d = to_dense(b, idx, fill=-1)
     return DenseSim(xd=xd, yd=yd, vxd=vxd, vyd=vyd,
                     rho_d=jnp.zeros_like(xd), ref_xd=xd, ref_yd=yd,
-                    idx_d=idx_d, age=jnp.int32(0), overflow=b.overflow,
+                    idx_d=idx_d, occ=reslot_ops.block_kmax3(xd, grid),
+                    disp2=jnp.float32(0.0),
+                    age=jnp.int32(0), overflow=b.overflow,
                     lost=jnp.int32(0), rebin_count=jnp.int32(1),
                     step=state.step)
 
@@ -153,10 +167,20 @@ def make_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
 
     Requires grid.cell_size > h (a real skin).  ``max_age`` bounds staleness
     regardless of displacement.  ``reslot`` defaults to the Pallas local
-    rebin on TPU and the XLA rolled-view version elsewhere."""
-    if stencils is None:
-        stencils = pallas_solver.make_stencils(grid)
-    density_fn, forces_fn = stencils
+    rebin on TPU and the XLA rolled-view version elsewhere.
+
+    With ``stencils=None`` (the flagship default) the step runs the FUSED
+    Pallas forces+integrate kernel: accelerations stay in-register, the
+    separate integrate pass and displacement reduction disappear, and the
+    skin trigger reads the ``disp2`` scalar the previous step's kernel
+    epilogue wrote (identical value — same positions, same reference).
+    Explicit ``stencils`` (XLA fallback / custom) keep the unfused path
+    with the same stored-disp2 trigger semantics."""
+    fused = stencils is None
+    if fused:
+        density_fn, _ = pallas_solver.make_stencils(grid)
+    else:
+        density_fn, forces_fn = stencils
     if reslot is None:
         reslot = reslot_ops.make_reslot(
             grid, use_pallas=not reslot_ops._interpret_default())
@@ -172,23 +196,34 @@ def make_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
         matched = jnp.sum(cnt).astype(jnp.int32)
         captured = jnp.sum(jnp.minimum(cnt, grid.cap)).astype(jnp.int32)
         return DenseSim(xd=xd, yd=yd, vxd=vxd, vyd=vyd, rho_d=sim.rho_d,
-                        ref_xd=xd, ref_yd=yd, idx_d=idx_d, age=jnp.int32(0),
+                        ref_xd=xd, ref_yd=yd, idx_d=idx_d,
+                        occ=reslot_ops.block_kmax3(xd, grid),
+                        disp2=jnp.float32(0.0),
+                        age=jnp.int32(0),
                         overflow=sim.overflow + (matched - captured),
                         lost=sim.lost + (alive_before - matched),
                         rebin_count=sim.rebin_count + 1, step=sim.step)
 
     def step(sim: DenseSim) -> DenseSim:
-        # rebin if any particle outran half the skin (or bins are too old)
-        dx = sim.xd - sim.ref_xd
-        dy = sim.yd - sim.ref_yd
-        disp2 = jnp.max(dx * dx + dy * dy)
-        need = (disp2 > skin_half * skin_half) | (sim.age >= max_age)
+        # rebin if any particle outran half the skin (or bins are too old);
+        # disp2 was computed at the end of the previous step against the
+        # same reference — the same value the old pre-step reduction read
+        need = (sim.disp2 > skin_half * skin_half) | (sim.age >= max_age)
         sim = jax.lax.cond(need, rebin, lambda s: s, sim)
 
+        rho_d = density_fn(sim.xd, sim.yd, params, occ=sim.occ)
+
+        if fused:
+            xd, yd, vxd, vyd, disp2 = pallas_solver.forces_integrate_pallas(
+                sim.xd, sim.yd, sim.vxd, sim.vyd, rho_d,
+                sim.ref_xd, sim.ref_yd, params, cfg, grid, occ=sim.occ)
+            return dataclasses.replace(
+                sim, xd=xd, yd=yd, vxd=vxd, vyd=vyd, rho_d=rho_d,
+                disp2=disp2, age=sim.age + 1, step=sim.step + 1)
+
         live = sim.xd < FAR * 0.5
-        rho_d = density_fn(sim.xd, sim.yd, params)
         ax_d, ay_d = forces_fn(sim.xd, sim.yd, sim.vxd, sim.vyd, rho_d,
-                               params)
+                               params, occ=sim.occ)
         ay_d = ay_d + GRAVITY_Y  # harmless on dead slots; they stay masked
 
         # dense semi-implicit Euler + bounce box, masked so FAR stays FAR
@@ -207,13 +242,18 @@ def make_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
         x = jnp.where(left, cfg.x_min, x)
         vx = jnp.where(left, vx * cfg.bounce, vx)
 
+        xd = jnp.where(live, x, sim.xd)
+        yd = jnp.where(live, y, sim.yd)
+        ddx = xd - sim.ref_xd
+        ddy = yd - sim.ref_yd
         return dataclasses.replace(
             sim,
-            xd=jnp.where(live, x, sim.xd),
-            yd=jnp.where(live, y, sim.yd),
+            xd=xd,
+            yd=yd,
             vxd=jnp.where(live, vx, 0.0),
             vyd=jnp.where(live, vy, 0.0),
             rho_d=rho_d,
+            disp2=jnp.max(ddx * ddx + ddy * ddy),
             age=sim.age + 1,
             step=sim.step + 1,
         )

@@ -63,8 +63,8 @@ AXIS = sh.AXIS
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=("xd", "yd", "vxd", "vyd", "rho_d", "ref_xd", "ref_yd",
-                      "idx_d", "alive", "age", "overflow", "lost", "dropped",
-                      "rebin_count", "step"),
+                      "idx_d", "occ", "alive", "age", "overflow", "lost",
+                      "dropped", "rebin_count", "step"),
          meta_fields=())
 @dataclasses.dataclass
 class ShardedDenseSim:
@@ -74,6 +74,11 @@ class ShardedDenseSim:
 
     idx_d:    int32 original (global) particle index per slot, -1 = empty —
               identity through migration and rebinning
+    occ:      int32[D, 3, n_row_blocks] cached block_kmax3 slot-loop bounds,
+              computed once per rebin and elementwise-MAXed with both
+              neighbours' (the per-step ghost-column fill makes ghost-lane
+              occupancy up to the neighbour's bound; max keeps the cached
+              bound a superset, so skipped slots are provably FAR)
     alive:    live particles currently resident on the device
     overflow: cumulative cell-capacity losses (reslot matches beyond cap)
     lost:     cumulative reslot window misses (structurally 0 — diagnostic)
@@ -88,6 +93,7 @@ class ShardedDenseSim:
     ref_xd: jax.Array
     ref_yd: jax.Array
     idx_d: jax.Array
+    occ: jax.Array
     alive: jax.Array
     age: jax.Array
     overflow: jax.Array
@@ -144,6 +150,17 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
 
     def count_live(xd):
         return jnp.sum(xd < FAR * 0.5).astype(jnp.int32)
+
+    def occ_of(xd):
+        """Cached slot-loop bounds: local block_kmax3 maxed with both
+        neighbours' (ghost-lane occupancy after a per-step halo fill is
+        bounded by the neighbour's bound)."""
+        occ = reslot_ops.block_kmax3(xd, g)
+        if D > 1:
+            from_left = jax.lax.ppermute(occ, AXIS, sh._fwd_perm(D))
+            from_right = jax.lax.ppermute(occ, AXIS, sh._bwd_perm(D))
+            occ = jnp.maximum(occ, jnp.maximum(from_left, from_right))
+        return occ
 
     def merge_col(fields, lane, src, base_cnt):
         """Append src occupants ([F, ny_pad, cap] f32 planes, plane 0 = x,
@@ -246,16 +263,17 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
         r1 = lambda a: a.reshape((1,) + a.shape)
         z = jnp.zeros_like(xd)
         return tuple(map(r1, (
-            xd, yd, vxd, vyd, z, xd, yd, idxd, count_live(xd), jnp.int32(0),
-            b.overflow, jnp.int32(0), jnp.int32(0), jnp.int32(1))))
+            xd, yd, vxd, vyd, z, xd, yd, idxd, occ_of(xd), count_live(xd),
+            jnp.int32(0), b.overflow, jnp.int32(0), jnp.int32(0),
+            jnp.int32(1))))
 
-    def local_step(xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd, idx_d, alive,
-                   age, overflow, lost, dropped, rebins, step):
+    def local_step(xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd, idx_d, occ,
+                   alive, age, overflow, lost, dropped, rebins, step):
         sq = lambda a: a.reshape(a.shape[1:])
-        (xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd, idx_d, alive, age,
+        (xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd, idx_d, occ, alive, age,
          overflow, lost, dropped, rebins) = map(
-            sq, (xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd, idx_d, alive, age,
-                 overflow, lost, dropped, rebins))
+            sq, (xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd, idx_d, occ, alive,
+                 age, overflow, lost, dropped, rebins))
 
         # collective rebin trigger: real columns only (ghosts are refreshed
         # from neighbours each step and carry no displacement meaning)
@@ -267,20 +285,22 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
         need = jax.lax.psum(need.astype(jnp.int32), AXIS) > 0  # uniform
 
         def do_rebin(op):
-            xd, yd, vxd, vyd, idx_d, age, overflow, lost, dropped, rebins = op
+            (xd, yd, vxd, vyd, idx_d, occ, age, overflow, lost, dropped,
+             rebins) = op
             xd, yd, vxd, vyd, idx_d, overflow, lost, dropped = \
                 collective_rebin(xd, yd, vxd, vyd, idx_d, overflow, lost,
                                  dropped)
-            return (xd, yd, vxd, vyd, idx_d, jnp.int32(0), overflow, lost,
-                    dropped, rebins + 1)
+            return (xd, yd, vxd, vyd, idx_d, occ_of(xd), jnp.int32(0),
+                    overflow, lost, dropped, rebins + 1)
 
         def no_rebin(op):
             return op
 
-        (xd, yd, vxd, vyd, idx_d, age, overflow, lost, dropped, rebins) = \
-            jax.lax.cond(need, do_rebin, no_rebin,
-                         (xd, yd, vxd, vyd, idx_d, age, overflow, lost,
-                          dropped, rebins))
+        (xd, yd, vxd, vyd, idx_d, occ, age, overflow, lost, dropped,
+         rebins) = jax.lax.cond(
+            need, do_rebin, no_rebin,
+            (xd, yd, vxd, vyd, idx_d, occ, age, overflow, lost, dropped,
+             rebins))
         ref_xd = jnp.where(need, xd, ref_xd)
         ref_yd = jnp.where(need, yd, ref_yd)
         alive = jnp.where(need, count_live(real(xd)), alive)
@@ -291,9 +311,9 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
         vxd = sh._fill_ghost_cols(vxd, nxl, D, 0.0)
         vyd = sh._fill_ghost_cols(vyd, nxl, D, 0.0)
 
-        rho_d = density_fn(xd, yd, params)
+        rho_d = density_fn(xd, yd, params, occ=occ)
         rho_d = sh._fill_ghost_cols(rho_d, nxl, D, 0.0)
-        ax_d, ay_d = forces_fn(xd, yd, vxd, vyd, rho_d, params)
+        ax_d, ay_d = forces_fn(xd, yd, vxd, vyd, rho_d, params, occ=occ)
         ay_d = ay_d + GRAVITY_Y
 
         live = xd < FAR * 0.5
@@ -318,10 +338,10 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
 
         r1 = lambda a: a.reshape((1,) + a.shape)
         return tuple(map(r1, (xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd,
-                              idx_d, alive, age + 1, overflow, lost,
+                              idx_d, occ, alive, age + 1, overflow, lost,
                               dropped, rebins)))
 
-    dense_specs = (P(AXIS),) * 14
+    dense_specs = (P(AXIS),) * 15
     init_sharded = jax.shard_map(
         local_init, mesh=mesh,
         in_specs=(P(AXIS),) * 6 + (P(),),
@@ -332,10 +352,10 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
         out_specs=dense_specs, check_vma=False)
 
     def _pack(out, step):
-        (xd, yd, vxd, vyd, rho_d, rxd, ryd, idxd, alive, age, ovf, lost,
-         drp, rbc) = out
+        (xd, yd, vxd, vyd, rho_d, rxd, ryd, idxd, occ, alive, age, ovf,
+         lost, drp, rbc) = out
         return ShardedDenseSim(xd=xd, yd=yd, vxd=vxd, vyd=vyd, rho_d=rho_d,
-                               ref_xd=rxd, ref_yd=ryd, idx_d=idxd,
+                               ref_xd=rxd, ref_yd=ryd, idx_d=idxd, occ=occ,
                                alive=alive, age=age,
                                overflow=ovf, lost=lost, dropped=drp,
                                rebin_count=rbc, step=step)
@@ -348,9 +368,9 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
     @jax.jit
     def step_fn(sim: ShardedDenseSim) -> ShardedDenseSim:
         out = step_sharded(sim.xd, sim.yd, sim.vxd, sim.vyd, sim.rho_d,
-                           sim.ref_xd, sim.ref_yd, sim.idx_d, sim.alive,
-                           sim.age, sim.overflow, sim.lost, sim.dropped,
-                           sim.rebin_count, sim.step)
+                           sim.ref_xd, sim.ref_yd, sim.idx_d, sim.occ,
+                           sim.alive, sim.age, sim.overflow, sim.lost,
+                           sim.dropped, sim.rebin_count, sim.step)
         return _pack(out, sim.step + 1)
 
     return init_fn, step_fn

@@ -39,6 +39,10 @@ def main() -> int:
     ap.add_argument("--warmup-steps", type=int, default=300)
     ap.add_argument("--devices", type=int, default=1)
     ap.add_argument("--skin", type=float, default=1.75)
+    ap.add_argument("--frames", action="store_true",
+                    help="also time the sharded step+render loop "
+                         "(parallel/shard_render.py strips, 16 substeps + "
+                         "one on-device frame per iteration)")
     args = ap.parse_args()
 
     side = int(math.isqrt(args.n))
@@ -86,6 +90,31 @@ def main() -> int:
           f"dropped={drp} rebins={int(sim.rebin_count.max())}",
           file=sys.stderr)
     ok = alive == n and ovf == 0 and drp == 0
+
+    if args.frames:
+        from bevy_gpu_fluid_tpu.parallel import shard_render
+        frame_fn = shard_render.make_sharded_frame(params, spec, mesh)
+
+        @jax.jit
+        def frame_step(s):
+            s = run_k(s, 16)
+            return s, frame_fn(s)
+
+        sim, img = jax.block_until_ready(frame_step(sim))   # compile
+        frames = 0
+        t0 = time.time()
+        while time.time() - t0 < 5.0:
+            sim, img = frame_step(sim)
+            jax.block_until_ready(img)
+            frames += 1
+        fdt = (time.time() - t0) / frames
+        frate = n * 16 / fdt
+        print(f"# sharded step+render D={args.devices}: "
+              f"{fdt * 1e3:.1f} ms/frame ({1 / fdt:.1f} FPS) at "
+              f"{img.shape[0]}x{img.shape[1]} = {frate / 1e6:.1f}M "
+              f"particle-steps/s incl. rendering, overflow="
+              f"{int(sim.overflow.max())}", file=sys.stderr)
+
     print(f'{{"metric": "sharded_verlet_psteps_per_sec_D{args.devices}", '
           f'"value": {rate:.1f}, "unit": "particle-steps/s", '
           f'"ok": {str(ok).lower()}}}')
