@@ -245,7 +245,7 @@ def _forces_integrate_kernel(pr, occ, x_hbm, y_hbm, vx_hbm, vy_hbm, rho_hbm,
                              refx_hbm, refy_hbm,
                              ox_ref, oy_ref, ovx_ref, ovy_ref, disp_ref,
                              xs, ys, vxs, vys, ps, irs, rxs, rys, sems, *,
-                             tb, adaptive):
+                             tb, adaptive, disp_lanes=None):
     """Forces + semi-implicit Euler + bounce box + skin-displacement max,
     fused into ONE pass (VERDICT r3 item 3).  Same pair arithmetic as
     ``_forces_kernel``; the epilogue integrates in-register — the
@@ -366,6 +366,13 @@ def _forces_integrate_kernel(pr, occ, x_hbm, y_hbm, vx_hbm, vy_hbm, rho_hbm,
     drx = x - rxs[...]
     dry = y - rys[...]
     d2 = jnp.where(live, drx * drx + dry * dry, 0.0)
+    if disp_lanes is not None:
+        # sharded use: ghost-column lanes hold LIVE neighbour copies whose
+        # reference is FAR — exclude them (the trigger means real columns
+        # only; ghosts are refreshed from neighbours every step)
+        lo, hi = disp_lanes
+        lane = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
+        d2 = jnp.where((lane >= lo) & (lane < hi), d2, 0.0)
     # (1, 8, 128): smallest output block satisfying the f32 min-tile rule
     disp_ref[...] = jnp.full((1, 8, 128), jnp.max(d2), jnp.float32)
 
@@ -473,18 +480,22 @@ def forces_integrate_pallas(xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd,
                             params: FluidParams, cfg: IntegrateConfig,
                             grid: GridSpec2D,
                             interpret: bool | None = None,
-                            adaptive: bool = True, occ=None):
+                            adaptive: bool = True, occ=None,
+                            disp_lanes=None):
     """Fused forces + integrate + bounce + skin-displacement pass.
 
     Returns (xd', yd', vxd', vyd', disp2) where disp2 is the max squared
     displacement of the new positions from the rebin reference — the value
     the NEXT step's rebin trigger needs (stored on the sim, replacing the
-    full-array reduction).  Accelerations never reach HBM."""
+    full-array reduction).  Accelerations never reach HBM.  ``disp_lanes``
+    (lo, hi) restricts the displacement max to that lane range — the
+    sharded solver passes its real-column window so live ghost copies
+    (whose reference is FAR) can't poison the trigger."""
     if interpret is None:
         interpret = _interpret_default()
     tb = grid.row_block
     kernel = functools.partial(_forces_integrate_kernel, tb=tb,
-                               adaptive=adaptive)
+                               adaptive=adaptive, disp_lanes=disp_lanes)
     if occ is None:
         occ = block_kmax3(xd, grid)
     out = jax.ShapeDtypeStruct(xd.shape, jnp.float32)

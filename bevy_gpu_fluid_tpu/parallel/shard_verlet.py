@@ -63,8 +63,8 @@ AXIS = sh.AXIS
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=("xd", "yd", "vxd", "vyd", "rho_d", "ref_xd", "ref_yd",
-                      "idx_d", "occ", "alive", "age", "overflow", "lost",
-                      "dropped", "rebin_count", "step"),
+                      "idx_d", "occ", "disp2", "alive", "age", "overflow",
+                      "lost", "dropped", "rebin_count", "step"),
          meta_fields=())
 @dataclasses.dataclass
 class ShardedDenseSim:
@@ -79,6 +79,9 @@ class ShardedDenseSim:
               neighbours' (the per-step ghost-column fill makes ghost-lane
               occupancy up to the neighbour's bound; max keeps the cached
               bound a superset, so skipped slots are provably FAR)
+    disp2:    f32[D] max squared displacement of real columns from the
+              rebin reference, computed at the end of the previous step
+              (in-kernel on the fused path) — the psum'd trigger reads it
     alive:    live particles currently resident on the device
     overflow: cumulative cell-capacity losses (reslot matches beyond cap)
     lost:     cumulative reslot window misses (structurally 0 — diagnostic)
@@ -94,6 +97,7 @@ class ShardedDenseSim:
     ref_yd: jax.Array
     idx_d: jax.Array
     occ: jax.Array
+    disp2: jax.Array
     alive: jax.Array
     age: jax.Array
     overflow: jax.Array
@@ -105,20 +109,34 @@ class ShardedDenseSim:
 
 def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
                              spec: sh.ShardSpec, mesh: Mesh, stencils=None,
-                             max_age: int = 64, reslot=None):
+                             max_age: int = 64, reslot=None,
+                             fused: bool = False, interpret=None):
     """Returns (init_fn, step_fn):
     init_fn(ShardedState) -> ShardedDenseSim (jitted)
     step_fn(ShardedDenseSim) -> ShardedDenseSim (jitted)
 
     Requires spec.local_grid.cell_size > params.h (build the spec with
-    ``h * skin_factor``)."""
+    ``h * skin_factor``).
+
+    ``fused=True`` is the hardware production shape: Pallas density + the
+    FUSED forces+integrate+trigger kernel (accelerations never reach HBM;
+    the skin trigger reads per-device disp2 scalars the kernel epilogue
+    wrote, with ghost-column lanes masked out of the displacement max).
+    The default keeps the unfused ``stencils`` path (XLA stencils = the CI
+    reference)."""
+    from ..models import pallas_solver
+
     g = spec.local_grid
     D = spec.n_devices
     nxl = spec.nx_local
     cap = g.cap
-    if stencils is None:
-        stencils = grid_solver.XLA_STENCILS
-    density_fn, forces_fn = stencils
+    if fused:
+        density_fn, _ = pallas_solver.make_stencils(g, interpret=interpret)
+        forces_fn = None
+    else:
+        if stencils is None:
+            stencils = grid_solver.XLA_STENCILS
+        density_fn, forces_fn = stencils
     if reslot is None:
         reslot = reslot_ops.make_reslot(
             g, use_pallas=not reslot_ops._interpret_default(),
@@ -263,24 +281,25 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
         r1 = lambda a: a.reshape((1,) + a.shape)
         z = jnp.zeros_like(xd)
         return tuple(map(r1, (
-            xd, yd, vxd, vyd, z, xd, yd, idxd, occ_of(xd), count_live(xd),
+            xd, yd, vxd, vyd, z, xd, yd, idxd, occ_of(xd),
+            jnp.float32(0.0), count_live(xd),
             jnp.int32(0), b.overflow, jnp.int32(0), jnp.int32(0),
             jnp.int32(1))))
 
     def local_step(xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd, idx_d, occ,
-                   alive, age, overflow, lost, dropped, rebins, step):
+                   disp2, alive, age, overflow, lost, dropped, rebins, step):
         sq = lambda a: a.reshape(a.shape[1:])
-        (xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd, idx_d, occ, alive, age,
-         overflow, lost, dropped, rebins) = map(
-            sq, (xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd, idx_d, occ, alive,
-                 age, overflow, lost, dropped, rebins))
+        (xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd, idx_d, occ, disp2, alive,
+         age, overflow, lost, dropped, rebins) = map(
+            sq, (xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd, idx_d, occ, disp2,
+                 alive, age, overflow, lost, dropped, rebins))
 
-        # collective rebin trigger: real columns only (ghosts are refreshed
-        # from neighbours each step and carry no displacement meaning)
+        # collective rebin trigger: the stored per-device disp2 scalar,
+        # computed at the END of the previous step over real columns only
+        # (ghosts are refreshed from neighbours each step and carry no
+        # displacement meaning) — same value the old pre-step reduction
+        # read, without re-reducing the dense arrays
         real = lambda a: jax.lax.slice_in_dim(a, 1, nxl + 1, axis=2)
-        ddx = real(xd) - real(ref_xd)
-        ddy = real(yd) - real(ref_yd)
-        disp2 = jnp.max(ddx * ddx + ddy * ddy)
         need = (disp2 > skin_half * skin_half) | (age >= max_age)
         need = jax.lax.psum(need.astype(jnp.int32), AXIS) > 0  # uniform
 
@@ -313,35 +332,47 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
 
         rho_d = density_fn(xd, yd, params, occ=occ)
         rho_d = sh._fill_ghost_cols(rho_d, nxl, D, 0.0)
-        ax_d, ay_d = forces_fn(xd, yd, vxd, vyd, rho_d, params, occ=occ)
-        ay_d = ay_d + GRAVITY_Y
 
-        live = xd < FAR * 0.5
-        vx = vxd + ax_d * cfg.dt
-        vy = vyd + ay_d * cfg.dt
-        x = xd + vx * cfg.dt
-        y = yd + vy * cfg.dt
-        below = y < cfg.floor_y
-        y = jnp.where(below, cfg.floor_y, y)
-        vy = jnp.where(below, vy * cfg.bounce, vy)
-        right = x > cfg.x_max
-        x = jnp.where(right, cfg.x_max, x)
-        vx = jnp.where(right, vx * cfg.bounce, vx)
-        left = x < cfg.x_min
-        x = jnp.where(left, cfg.x_min, x)
-        vx = jnp.where(left, vx * cfg.bounce, vx)
+        if forces_fn is None:
+            # fused hardware path: forces + integrate + bounce + the next
+            # step's trigger scalar in one kernel; ghost lanes excluded
+            # from the displacement max (their reference is FAR)
+            xd, yd, vxd, vyd, disp2 = pallas_solver.forces_integrate_pallas(
+                xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd, params, cfg, g,
+                interpret=interpret, occ=occ, disp_lanes=(1, nxl + 1))
+        else:
+            ax_d, ay_d = forces_fn(xd, yd, vxd, vyd, rho_d, params, occ=occ)
+            ay_d = ay_d + GRAVITY_Y
 
-        xd = jnp.where(live, x, xd)
-        yd = jnp.where(live, y, yd)
-        vxd = jnp.where(live, vx, 0.0)
-        vyd = jnp.where(live, vy, 0.0)
+            live = xd < FAR * 0.5
+            vx = vxd + ax_d * cfg.dt
+            vy = vyd + ay_d * cfg.dt
+            x = xd + vx * cfg.dt
+            y = yd + vy * cfg.dt
+            below = y < cfg.floor_y
+            y = jnp.where(below, cfg.floor_y, y)
+            vy = jnp.where(below, vy * cfg.bounce, vy)
+            right = x > cfg.x_max
+            x = jnp.where(right, cfg.x_max, x)
+            vx = jnp.where(right, vx * cfg.bounce, vx)
+            left = x < cfg.x_min
+            x = jnp.where(left, cfg.x_min, x)
+            vx = jnp.where(left, vx * cfg.bounce, vx)
+
+            xd = jnp.where(live, x, xd)
+            yd = jnp.where(live, y, yd)
+            vxd = jnp.where(live, vx, 0.0)
+            vyd = jnp.where(live, vy, 0.0)
+            ddx = real(xd) - real(ref_xd)
+            ddy = real(yd) - real(ref_yd)
+            disp2 = jnp.max(ddx * ddx + ddy * ddy)
 
         r1 = lambda a: a.reshape((1,) + a.shape)
         return tuple(map(r1, (xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd,
-                              idx_d, occ, alive, age + 1, overflow, lost,
-                              dropped, rebins)))
+                              idx_d, occ, disp2, alive, age + 1, overflow,
+                              lost, dropped, rebins)))
 
-    dense_specs = (P(AXIS),) * 15
+    dense_specs = (P(AXIS),) * 16
     init_sharded = jax.shard_map(
         local_init, mesh=mesh,
         in_specs=(P(AXIS),) * 6 + (P(),),
@@ -352,11 +383,11 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
         out_specs=dense_specs, check_vma=False)
 
     def _pack(out, step):
-        (xd, yd, vxd, vyd, rho_d, rxd, ryd, idxd, occ, alive, age, ovf,
-         lost, drp, rbc) = out
+        (xd, yd, vxd, vyd, rho_d, rxd, ryd, idxd, occ, dsp, alive, age,
+         ovf, lost, drp, rbc) = out
         return ShardedDenseSim(xd=xd, yd=yd, vxd=vxd, vyd=vyd, rho_d=rho_d,
                                ref_xd=rxd, ref_yd=ryd, idx_d=idxd, occ=occ,
-                               alive=alive, age=age,
+                               disp2=dsp, alive=alive, age=age,
                                overflow=ovf, lost=lost, dropped=drp,
                                rebin_count=rbc, step=step)
 
@@ -369,8 +400,8 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
     def step_fn(sim: ShardedDenseSim) -> ShardedDenseSim:
         out = step_sharded(sim.xd, sim.yd, sim.vxd, sim.vyd, sim.rho_d,
                            sim.ref_xd, sim.ref_yd, sim.idx_d, sim.occ,
-                           sim.alive, sim.age, sim.overflow, sim.lost,
-                           sim.dropped, sim.rebin_count, sim.step)
+                           sim.disp2, sim.alive, sim.age, sim.overflow,
+                           sim.lost, sim.dropped, sim.rebin_count, sim.step)
         return _pack(out, sim.step + 1)
 
     return init_fn, step_fn

@@ -44,7 +44,9 @@ def sverlet_d4():
     Returns dict with keys:
       'spec', 'state', 'n'  — decomposition, initial state, particle count
       'xla'    — ShardedDenseSim after the sharded-verlet run, XLA stencils
-      'pallas' — same, Pallas-interpret stencils
+      'pallas' — same, on the FUSED hardware path (Pallas density + fused
+                 forces+integrate kernel, interpret mode) — the exact code
+                 the perf claims rest on
       'eager'  — (ShardedState, ShardDiag) after the eager sharded run
       'single' — FluidState after the single-chip verlet flagship run on
                  the equivalent (same cell size) global grid
@@ -52,7 +54,7 @@ def sverlet_d4():
     import jax.numpy as jnp
 
     import bevy_gpu_fluid_tpu as bgf
-    from bevy_gpu_fluid_tpu.models import pallas_solver, verlet_solver
+    from bevy_gpu_fluid_tpu.models import verlet_solver
     from bevy_gpu_fluid_tpu.parallel import shard, shard_verlet
 
     params = bgf.FluidParams.demo()
@@ -65,9 +67,9 @@ def sverlet_d4():
     state = state.replace(x=state.x - 0.98,
                           vx=jnp.full((state.n,), 4.0))
 
-    def run_sharded(stencils):
+    def run_sharded(**kw):
         init_fn, step_fn = shard_verlet.make_sharded_verlet_step(
-            params, cfg, spec, mesh, stencils=stencils)
+            params, cfg, spec, mesh, **kw)
         sim = init_fn(shard.shard_state(state, spec))
         for _ in range(SVERLET_STEPS):
             sim = step_fn(sim)
@@ -77,9 +79,8 @@ def sverlet_d4():
 
     runs = {"spec": spec, "state": state, "n": state.n, "params": params,
             "cfg": cfg}
-    runs["xla"] = run_sharded(None)
-    runs["pallas"] = run_sharded(
-        pallas_solver.make_stencils(spec.local_grid, interpret=True))
+    runs["xla"] = run_sharded()
+    runs["pallas"] = run_sharded(fused=True, interpret=True)
 
     eager = shard.make_sharded_step(params, cfg, spec, mesh)
     se = shard.shard_state(state, spec)

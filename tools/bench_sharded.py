@@ -28,7 +28,6 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 import bevy_gpu_fluid_tpu as bgf
-from bevy_gpu_fluid_tpu.models import pallas_solver
 from bevy_gpu_fluid_tpu.parallel import shard, shard_verlet
 
 
@@ -55,9 +54,9 @@ def main() -> int:
         y_max=extent * 1.1 + 1.0, n_devices=args.devices,
         capacity=-(-n // args.devices) * 2)
     mesh = shard.make_mesh(args.devices)
-    stencils = pallas_solver.make_stencils(spec.local_grid)
+    # the fused hardware path: Pallas density + fused forces+integrate
     init_fn, step_fn = shard_verlet.make_sharded_verlet_step(
-        params, cfg, spec, mesh, stencils=stencils)
+        params, cfg, spec, mesh, fused=True)
 
     from functools import partial
 
