@@ -62,7 +62,10 @@ def test_boundary_exact_fold_back_conserves():
 
     sim = init_fn(shard.shard_state(state, spec))
     seen_max = -np.inf
-    for _ in range(50):
+    # 30 steps: the block front clamps to x_max on step 1 (it starts past
+    # the wall) and max_age=6 forces ~5 rebins — every assertion below is
+    # already exercised several times over
+    for _ in range(30):
         sim = step_fn(sim)
         jax.block_until_ready(sim.xd)
         live_x = jnp.where(sim.xd < 1e8, sim.xd, -np.inf)
