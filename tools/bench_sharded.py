@@ -82,13 +82,21 @@ def main() -> int:
     ovf = int(sim.overflow.max())
     drp = int(sim.dropped.sum())
     rate = n * args.steps / dt
+    # hardware identity check: the dense idx planes must still hold the
+    # permutation 0..n-1 after the full benchmark run's rebins
+    import numpy as np
+    ids = np.asarray(sim.idx_d).reshape(-1)
+    ids = np.sort(ids[ids >= 0])
+    id_ok = ids.shape[0] == alive and bool(
+        (ids == np.arange(ids.shape[0])).all()) and alive == n
     print(f"# sharded-verlet D={args.devices} n={n} "
           f"compile+warmup={t_compile:.1f}s "
           f"{dt / args.steps * 1e3:.2f} ms/step = {rate / 1e6:.1f}M "
           f"particle-steps/s | alive {alive}/{n} overflow={ovf} "
-          f"dropped={drp} rebins={int(sim.rebin_count.max())}",
+          f"dropped={drp} rebins={int(sim.rebin_count.max())} "
+          f"identity={'exact' if id_ok else 'BROKEN'}",
           file=sys.stderr)
-    ok = alive == n and ovf == 0 and drp == 0
+    ok = alive == n and ovf == 0 and drp == 0 and id_ok
 
     if args.frames:
         from bevy_gpu_fluid_tpu.parallel import shard_render
