@@ -3,7 +3,11 @@
 The flagship compute path — the TPU-native analog of the reference's fused
 DensityNode, which dispatched density -> pressure -> forces -> integrate
 back-to-back in one compute pass (reference: src/gpu/pipeline.rs:284-313,
-kernels assets/shaders/sph_density.wgsl).
+kernels assets/shaders/sph_density.wgsl).  Round 3 goes further than the
+reference's fusion: ``forces_integrate_pallas`` folds the integrate pass,
+the bounce box, AND the Verlet-skin displacement reduction into the forces
+kernel itself, so a full no-rebin step is exactly two kernels and the
+accelerations never exist in HBM at all.
 
 Kernel shape: the dense slot grid is [ny_pad, cap, nx_pad] (see
 ops/binning.py).  Inputs stay in HBM (memory_space=ANY); each program owns a

@@ -13,8 +13,11 @@ under which the frozen 3x3 window is still a superset of every true r < h
 neighbourhood — the r^2 < h^2 gate does the final selection, so results are
 IDENTICAL to rebinning every step (up to f32 summation order).
 
-Between rebins a step costs: 2 stencil kernels + dense elementwise
-integrate + a displacement reduction.  No sorts, no scatters, no gathers.
+Between rebins a step costs: the density kernel + the FUSED
+forces+integrate+trigger kernel (round 3) — accelerations never reach HBM,
+the bounce box applies in-register, and the skin-displacement max is a
+per-block scalar the kernel epilogue writes (the trigger reads it next
+step; no full-array reduction).  No sorts, no scatters, no gathers.
 
 Round-2 upgrade: the rebin itself is now ALSO sort/scatter/gather-free.
 The same skin bound that freezes the window means a particle's true cell at

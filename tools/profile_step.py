@@ -106,6 +106,17 @@ def main():
     report("forces pallas", scan_time(
         force_body, (sim0.xd, sim0.yd, sim0.vxd, sim0.vyd, rho0), iters))
 
+    # 3b. the round-3 fused forces+integrate+trigger kernel (the production
+    #     step is density + this — nothing else between rebins)
+    def fused_body(c):
+        xd, yd, vxd, vyd, rho, rx, ry = c
+        nx_, ny_, nvx, nvy, disp2 = pallas_solver.forces_integrate_pallas(
+            xd, yd, vxd, vyd, rho, rx, ry, params, cfg, grid)
+        return (keepalive(nx_, disp2), ny_, nvx, nvy, rho, rx, ry)
+    report("fused forces+integrate", scan_time(
+        fused_body, (sim0.xd, sim0.yd, sim0.vxd, sim0.vyd, rho0,
+                     sim0.ref_xd, sim0.ref_yd), iters))
+
     # 4. dense elementwise integrate + bounce + displacement reduction
     def integ_body(c):
         xd, yd, vxd, vyd, ref = c
