@@ -266,10 +266,15 @@ def _forces_integrate_kernel(pr, occ, x_hbm, y_hbm, vx_hbm, vy_hbm, rho_hbm,
         _copy_slab(vx_hbm, vxs, sems.at[2], row_start, tb + 2),
         _copy_slab(vy_hbm, vys, sems.at[3], row_start, tb + 2),
         _copy_slab(rho_hbm, ps, sems.at[4], row_start, tb + 2),
+    ]
+    # the rebin-reference slabs are consumed only by the EPILOGUE's
+    # displacement max — start their DMAs now, wait AFTER the pair loop so
+    # their transfer hides behind the compute
+    ref_copies = [
         _copy_slab(refx_hbm, rxs, sems.at[5], row_start + 1, tb),
         _copy_slab(refy_hbm, rys, sems.at[6], row_start + 1, tb),
     ]
-    for c in copies:
+    for c in copies + ref_copies:
         c.start()
     for c in copies:
         c.wait()
@@ -367,6 +372,8 @@ def _forces_integrate_kernel(pr, occ, x_hbm, y_hbm, vx_hbm, vy_hbm, rho_hbm,
 
     # skin displacement of the NEW positions vs the rebin reference
     # (dead slots: x == xi == ref pattern FAR -> contribute 0 via mask)
+    for c in ref_copies:
+        c.wait()
     drx = x - rxs[...]
     dry = y - rys[...]
     d2 = jnp.where(live, drx * drx + dry * dry, 0.0)
