@@ -36,12 +36,28 @@ Empty-slot handling: FAR slots must stay FAR through integration (otherwise
 the bounce box would clamp them onto the walls as phantom particles), so all
 dense integration is masked by x < FAR/2.
 
-Degradation semantics (see tests/test_overflow.py): particles beyond a
-cell's ``cap`` at a rebin lose their slot and stay dead — they surface as
-FAR positions in extracted states and are counted (cumulatively) in
-``overflow``.  ``lost`` counts particles missed by the +-1 reslot window,
-which is impossible while the skin invariant holds; it exists so a violation
-would be loudly visible rather than silent.
+Degradation + RECOVERY semantics (see tests/test_overflow.py): particles
+beyond a cell's ``cap`` at a bin/rebin lose their slot and are counted
+(cumulatively) in ``overflow`` — but they are not gone: they move to a
+fixed-size SPILL buffer (positions/velocities frozen, no forces felt), and
+every subsequent rebin attempts re-admission into their target cell if
+capacity has freed up (transient compression is the common overflow cause —
+the fluid moves on and the cell re-opens) and the entry satisfies the skin
+invariant (|v| dt <= skin_half — ballistic window-lost runaways stay
+suspended; see ``_spill_recover``).  Re-admissions are counted in
+``readmitted``; suspended particles surface in extracted states at their
+frozen positions (not FAR), so nothing teleports.  The recovery path is
+entirely inside a ``lax.cond`` whose predicate is false in overflow-0
+scenes — the standard-scene step cost is unchanged.  Spill capacity is
+best-effort: drops beyond ``spill_cap`` free slots are permanently lost
+(still counted in ``overflow``).  ``lost`` counts particles missed by the
++-1 reslot window, which is impossible while the skin invariant holds; it
+exists so a violation would be loudly visible rather than silent.
+
+(The reference has no recovery story at all — its atomic grid builder
+silently clamps overfull cells, reference: assets/shaders/grid_build.wgsl:
+57-66; the eager solvers here keep overflowed particles integrating under
+a gravity-only fallback instead, models/grid_solver.py.)
 """
 
 from __future__ import annotations
@@ -60,10 +76,14 @@ from ..ops import reslot as reslot_ops
 from . import grid_solver, pallas_solver
 
 
+SPILL_CAP = 256  # default spill-buffer entries (recovery pool size)
+
+
 @partial(jax.tree_util.register_dataclass,
          data_fields=("xd", "yd", "vxd", "vyd", "rho_d", "ref_xd", "ref_yd",
                       "idx_d", "occ", "disp2", "age", "overflow", "lost",
-                      "rebin_count", "step"),
+                      "rebin_count", "step", "sx", "sy", "svx", "svy",
+                      "sidx", "readmitted"),
          meta_fields=())
 @dataclasses.dataclass
 class DenseSim:
@@ -92,6 +112,12 @@ class DenseSim:
                    (0 by the skin invariant; a diagnostic, not a tolerance)
     rebin_count:   int32
     step:          int32
+    sx/sy/svx/svy: float32[spill_cap] SPILL buffer — frozen state of
+                   capacity-dropped particles awaiting re-admission
+                   (FAR/0 = empty entry)
+    sidx:          int32[spill_cap] original particle index per spill entry
+                   (-1 = empty)
+    readmitted:    int32 cumulative spill re-admissions (recovered drops)
     """
 
     xd: jax.Array
@@ -109,6 +135,17 @@ class DenseSim:
     lost: jax.Array
     rebin_count: jax.Array
     step: jax.Array
+    sx: jax.Array
+    sy: jax.Array
+    svx: jax.Array
+    svy: jax.Array
+    sidx: jax.Array
+    readmitted: jax.Array
+
+    @property
+    def suspended(self) -> jax.Array:
+        """Particles currently parked in the spill buffer."""
+        return jnp.sum(self.sidx >= 0).astype(jnp.int32)
 
 
 def _bin_now(x, y, vx, vy, grid: GridSpec2D, alive=None):
@@ -120,28 +157,45 @@ def _bin_now(x, y, vx, vy, grid: GridSpec2D, alive=None):
     return b, xd, yd, vxd, vyd
 
 
-def init_dense(state: FluidState, grid: GridSpec2D) -> DenseSim:
+def init_dense(state: FluidState, grid: GridSpec2D,
+               spill_cap: int = SPILL_CAP) -> DenseSim:
     """Bin a particle state into the dense representation (sort-based — runs
-    once per session; steady-state rebins use the local reslot kernel)."""
+    once per session; steady-state rebins use the local reslot kernel).
+
+    Particles the init sort drops to cell capacity (rank >= cap) are
+    collected into the spill buffer so later rebins can re-admit them once
+    their cell has room (see module docstring, recovery semantics)."""
     b, xd, yd, vxd, vyd = _bin_now(state.x, state.y, state.vx, state.vy, grid)
     idx = jnp.arange(state.n, dtype=jnp.int32)
     idx_d = to_dense(b, idx, fill=-1)
+    n = state.n
+    dpos = jnp.nonzero(b.rank >= grid.cap, size=spill_cap, fill_value=n)[0]
+    dv = dpos < n
+    ds = jnp.minimum(dpos, n - 1)
     return DenseSim(xd=xd, yd=yd, vxd=vxd, vyd=vyd,
                     rho_d=jnp.zeros_like(xd), ref_xd=xd, ref_yd=yd,
                     idx_d=idx_d, occ=reslot_ops.block_kmax3(xd, grid),
                     disp2=jnp.float32(0.0),
                     age=jnp.int32(0), overflow=b.overflow,
                     lost=jnp.int32(0), rebin_count=jnp.int32(1),
-                    step=state.step)
+                    step=state.step,
+                    sx=jnp.where(dv, state.x[ds], FAR),
+                    sy=jnp.where(dv, state.y[ds], FAR),
+                    svx=jnp.where(dv, state.vx[ds], 0.0),
+                    svy=jnp.where(dv, state.vy[ds], 0.0),
+                    sidx=jnp.where(dv, dpos.astype(jnp.int32), -1),
+                    readmitted=jnp.int32(0))
 
 
 def extract_fields(sim: DenseSim, grid: GridSpec2D, params: FluidParams,
                    n: int):
     """Per-particle (x, y, vx, vy, rho) in ORIGINAL order via one stacked
     dense->[N] scatter (the only random-access op left in the solver; runs
-    on demand, not per step).  Dropped particles (no slot) come back as
-    FAR positions, zero velocity, and analytic self-density — they stay
-    dead (counted in sim.overflow)."""
+    on demand, not per step).  Suspended particles (in the spill buffer
+    awaiting re-admission) surface at their FROZEN positions/velocities
+    with analytic self-density; only drops that exceeded the spill
+    capacity come back as FAR (counted in sim.overflow, never
+    readmitted)."""
     def real(a):
         return jax.lax.slice(
             a, (grid.row0, 0, 1),
@@ -157,6 +211,12 @@ def extract_fields(sim: DenseSim, grid: GridSpec2D, params: FluidParams,
         jnp.stack([jnp.float32(FAR), jnp.float32(FAR), jnp.float32(0.0),
                    jnp.float32(0.0), self_rho]), (n, 5))
     out = init.at[safe].set(vals, mode="drop")
+    # spill overlay: suspended particles at their frozen state (their idx
+    # never appears in the dense planes, so there is no conflict)
+    ssafe = jnp.where(sim.sidx >= 0, sim.sidx, n + (1 << 20))
+    svals = jnp.stack([sim.sx, sim.sy, sim.svx, sim.svy,
+                       jnp.full_like(sim.sx, self_rho)], axis=-1)
+    out = out.at[ssafe].set(svals, mode="drop")
     return out[:, 0], out[:, 1], out[:, 2], out[:, 3], out[:, 4]
 
 
@@ -164,13 +224,104 @@ def _skin(params: FluidParams, grid: GridSpec2D):
     return (grid.cell_size - params.h) * 0.5
 
 
+def _spill_recover(ops, *, grid: GridSpec2D, n: int, vmax2: float):
+    """Overflow recovery at a rebin (runs inside lax.cond, only when a drop
+    happened this rebin or the spill buffer is non-empty):
+
+    1. COLLECT particles the reslot just dropped (present in the pre-rebin
+       idx planes, absent post) into the spill buffer — their state freezes
+       at the drop point;
+    2. RE-ADMIT spill entries whose target cell (from the frozen position)
+       has free capacity after the reslot, at ranks continuing from the
+       cell's occupancy — deterministic, capacity-bounded, oldest-first.
+
+    A particle dropped THIS rebin can never re-admit in the same pass (its
+    cell is at/over cap by construction), so collect-then-admit in one pass
+    is exact.  Entries beyond the spill capacity are permanently lost
+    (cumulative ``overflow`` still counts them).
+
+    Re-admission is gated on the SKIN INVARIANT: only entries with
+    |v|^2 <= ``vmax2`` (= (skin_half/dt)^2) come back — a faster particle
+    would outrun the ±1 reslot window again immediately, and re-admitting
+    ballistic runaways lets energy-injecting walls (the reference's default
+    bounce=-3) amplify them without bound where suspension keeps the run
+    finite.  Ballistic entries stay suspended (visible at position,
+    counted) until... they never slow while frozen — i.e. permanently,
+    exactly the pre-recovery degradation semantics for that class."""
+    (xd, yd, vxd, vyd, idx_d, cnt,
+     pxd, pyd, pvxd, pvyd, pidx_d,
+     sx, sy, svx, svy, sidx, readmitted) = ops
+    cap = grid.cap
+    K = sx.shape[0]
+
+    # -- 1. collect: membership test post vs pre via an [n] presence mask
+    post = idx_d.reshape(-1)
+    pres = jnp.zeros((n,), bool).at[
+        jnp.where(post >= 0, post, n)].set(True, mode="drop")
+    pre = pidx_d.reshape(-1)
+    total = pre.shape[0]
+    in_post = pres[jnp.clip(pre, 0, n - 1)]
+    dropped = (pre >= 0) & ~in_post
+    dpos = jnp.nonzero(dropped, size=K, fill_value=total)[0]
+    dv = dpos < total
+    dsf = jnp.minimum(dpos, total - 1)
+    ndx = jnp.where(dv, pxd.reshape(-1)[dsf], FAR)
+    ndy = jnp.where(dv, pyd.reshape(-1)[dsf], FAR)
+    ndvx = jnp.where(dv, pvxd.reshape(-1)[dsf], 0.0)
+    ndvy = jnp.where(dv, pvyd.reshape(-1)[dsf], 0.0)
+    ndi = jnp.where(dv, pre[dsf], -1)
+
+    # merge old spill (kept first: oldest-first admission priority) + new
+    # drops, compact valid entries into the K slots
+    pool = [jnp.concatenate([a, b]) for a, b in
+            ((sx, ndx), (sy, ndy), (svx, ndvx), (svy, ndvy), (sidx, ndi))]
+    keep = jnp.argsort(pool[4] < 0, stable=True)[:K]
+    sx, sy, svx, svy, sidx = (p[keep] for p in pool)
+
+    # -- 2. re-admit into cells with free capacity
+    valid = sidx >= 0
+    inv = 1.0 / grid.cell_size
+    gx = jnp.where(valid, sx, grid.origin_x)   # FAR would overflow int32
+    gy = jnp.where(valid, sy, grid.origin_y)
+    ccx = jnp.clip(jnp.floor((gx - grid.origin_x) * inv).astype(jnp.int32),
+                   0, grid.nx - 1)
+    ccy = jnp.clip(jnp.floor((gy - grid.origin_y) * inv).astype(jnp.int32),
+                   0, grid.ny - 1)
+    row = ccy + grid.row0
+    col = ccx + 1
+    base = jnp.minimum(cnt[row, col], cap)
+    cid = row * grid.nx_pad + col
+    io = jnp.arange(K)
+    elig = valid & (svx * svx + svy * svy <= vmax2)
+    rank = jnp.sum((cid[:, None] == cid[None, :]) & elig[None, :]
+                   & (io[None, :] < io[:, None]), axis=1)
+    admit = elig & (base + rank < cap)
+    slot = jnp.where(admit, base + rank, cap + (1 << 20))  # OOB -> dropped
+    xd = xd.at[row, slot, col].set(sx, mode="drop")
+    yd = yd.at[row, slot, col].set(sy, mode="drop")
+    vxd = vxd.at[row, slot, col].set(svx, mode="drop")
+    vyd = vyd.at[row, slot, col].set(svy, mode="drop")
+    idx_d = idx_d.at[row, slot, col].set(sidx, mode="drop")
+    readmitted = readmitted + jnp.sum(admit).astype(jnp.int32)
+    sx = jnp.where(admit, FAR, sx)
+    sy = jnp.where(admit, FAR, sy)
+    svx = jnp.where(admit, 0.0, svx)
+    svy = jnp.where(admit, 0.0, svy)
+    sidx = jnp.where(admit, -1, sidx)
+    return xd, yd, vxd, vyd, idx_d, sx, sy, svx, svy, sidx, readmitted
+
+
 def make_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
-              stencils=None, max_age: int = 64, reslot=None):
+              stencils=None, max_age: int = 64, reslot=None,
+              n: int | None = None):
     """Build the dense step fn: DenseSim -> DenseSim.
 
     Requires grid.cell_size > h (a real skin).  ``max_age`` bounds staleness
     regardless of displacement.  ``reslot`` defaults to the Pallas local
-    rebin on TPU and the XLA rolled-view version elsewhere.
+    rebin on TPU and the XLA rolled-view version elsewhere.  ``n`` (the
+    particle count) enables overflow RECOVERY at rebins (spill collection +
+    re-admission, see ``_spill_recover``); with ``n=None`` drops are
+    counted but the spill buffer is never refilled or drained.
 
     With ``stencils=None`` (the flagship default) the step runs the FUSED
     Pallas forces+integrate kernel: accelerations stay in-register, the
@@ -198,14 +349,38 @@ def make_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
             sim.xd, sim.yd, sim.vxd, sim.vyd, sim.idx_d)
         matched = jnp.sum(cnt).astype(jnp.int32)
         captured = jnp.sum(jnp.minimum(cnt, grid.cap)).astype(jnp.int32)
+        new_over = matched - captured
+        sx, sy, svx, svy = sim.sx, sim.sy, sim.svx, sim.svy
+        sidx, readmitted = sim.sidx, sim.readmitted
+        if n is not None:
+            # overflow recovery: collect EVERY particle that disappeared
+            # this rebin (capacity drops AND ±1-window losses — the latter
+            # only occur when extreme velocities break the skin invariant,
+            # and recovering them turns "counted loss" into "suspended,
+            # re-admitted when they slow down") + re-admit waiting spill
+            # entries.  Cond-gated so overflow-0 scenes pay only the (tiny)
+            # predicate.
+            need = (alive_before - captured > 0) | jnp.any(sidx >= 0)
+            ops = (xd, yd, vxd, vyd, idx_d, cnt,
+                   sim.xd, sim.yd, sim.vxd, sim.vyd, sim.idx_d,
+                   sx, sy, svx, svy, sidx, readmitted)
+            vmax2 = (skin_half / cfg.dt) ** 2
+            (xd, yd, vxd, vyd, idx_d, sx, sy, svx, svy, sidx,
+             readmitted) = jax.lax.cond(
+                need, partial(_spill_recover, grid=grid, n=n, vmax2=vmax2),
+                lambda op: (op[0], op[1], op[2], op[3], op[4],
+                            op[11], op[12], op[13], op[14], op[15], op[16]),
+                ops)
         return DenseSim(xd=xd, yd=yd, vxd=vxd, vyd=vyd, rho_d=sim.rho_d,
                         ref_xd=xd, ref_yd=yd, idx_d=idx_d,
                         occ=reslot_ops.block_kmax3(xd, grid),
                         disp2=jnp.float32(0.0),
                         age=jnp.int32(0),
-                        overflow=sim.overflow + (matched - captured),
+                        overflow=sim.overflow + new_over,
                         lost=sim.lost + (alive_before - matched),
-                        rebin_count=sim.rebin_count + 1, step=sim.step)
+                        rebin_count=sim.rebin_count + 1, step=sim.step,
+                        sx=sx, sy=sy, svx=svx, svy=svy, sidx=sidx,
+                        readmitted=readmitted)
 
     def step(sim: DenseSim) -> DenseSim:
         # rebin if any particle outran half the skin (or bins are too old);
@@ -274,12 +449,16 @@ def default_grid(params_h: float, x_min: float, x_max: float, y_max: float,
 
 def multi_step(state: FluidState, params: FluidParams, cfg: IntegrateConfig,
                grid: GridSpec2D, n_steps: int, stencils=None,
-               max_age: int = 64, reslot=None):
+               max_age: int = 64, reslot=None,
+               spill_cap: int = SPILL_CAP):
     """n_steps with deferred rebinning; returns (FluidState, diag, rebins)
     where diag carries the cumulative dropped count (capacity overflow +
-    reslot losses, the latter structurally 0)."""
-    stepf = make_step(params, cfg, grid, stencils, max_age, reslot)
-    sim = init_dense(state, grid)
+    reslot losses, the latter structurally 0).  Overflow recovery is on:
+    capacity drops park in a ``spill_cap``-entry buffer and re-admit at
+    later rebins when their cell frees up."""
+    stepf = make_step(params, cfg, grid, stencils, max_age, reslot,
+                      n=state.n)
+    sim = init_dense(state, grid, spill_cap)
     n = state.n
 
     def body(s, _):
@@ -310,9 +489,11 @@ class Session:
 
     def __init__(self, state: FluidState, params: FluidParams,
                  cfg: IntegrateConfig, grid: GridSpec2D, stencils=None,
-                 max_age: int = 64, reslot=None):
+                 max_age: int = 64, reslot=None,
+                 spill_cap: int = SPILL_CAP):
         self._setup(params, cfg, grid, state.n, stencils, max_age, reslot)
-        self.sim = jax.jit(lambda s: init_dense(s, self.grid))(state)
+        self.sim = jax.jit(
+            partial(init_dense, grid=self.grid, spill_cap=spill_cap))(state)
 
     def _setup(self, params: FluidParams, cfg: IntegrateConfig,
                grid: GridSpec2D, n: int, stencils, max_age: int,
@@ -323,7 +504,7 @@ class Session:
         self.cfg = cfg
         self.grid = grid
         self.n = n
-        stepf = make_step(params, cfg, grid, stencils, max_age, reslot)
+        stepf = make_step(params, cfg, grid, stencils, max_age, reslot, n=n)
 
         @partial(jax.jit, static_argnums=1)
         def run_k(sim, k):
@@ -420,4 +601,16 @@ class Session:
 
     @property
     def overflow(self) -> int:
+        """Cumulative capacity drops (recoverable ones included)."""
         return int(self.sim.overflow + self.sim.lost)
+
+    @property
+    def suspended(self) -> int:
+        """Particles currently parked in the spill buffer (awaiting
+        re-admission at a future rebin)."""
+        return int(self.sim.suspended)
+
+    @property
+    def readmitted(self) -> int:
+        """Cumulative overflow recoveries (spill re-admissions)."""
+        return int(self.sim.readmitted)

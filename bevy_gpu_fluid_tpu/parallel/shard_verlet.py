@@ -39,6 +39,11 @@ Edge devices merge their own outward ghost captures back into the adjacent
 real edge cell: the global bounce box clamps x into the domain, so a
 boundary-exact position that cells one past the slab is physically IN the
 edge cell, not an exit.
+
+NB: unlike the single-chip flagship (models/verlet_solver.py), the sharded
+path COUNTS capacity/migration losses (overflow/lost/dropped) but does not
+yet run the spill-buffer recovery — all published multi-chip scenes are
+overflow-0, where the two behave identically.
 """
 
 from __future__ import annotations

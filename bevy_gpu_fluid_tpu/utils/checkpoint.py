@@ -109,9 +109,18 @@ def save_dense(path: str, sim, grid: GridSpec2D, params: FluidParams,
 
 def load_dense(path: str):
     """Returns (DenseSim, GridSpec2D, FluidParams, IntegrateConfig, n)."""
-    from ..models.verlet_solver import DenseSim
+    from ..models.verlet_solver import DenseSim, SPILL_CAP
+    from ..ops.binning import FAR
     z = np.load(_norm(path))
-    sim = DenseSim(**_group(z, "sim."))
+    kw = _group(z, "sim.")
+    if "sidx" not in kw:       # pre-recovery snapshot: empty spill buffer
+        kw.update(sx=jnp.full((SPILL_CAP,), FAR, jnp.float32),
+                  sy=jnp.full((SPILL_CAP,), FAR, jnp.float32),
+                  svx=jnp.zeros((SPILL_CAP,), jnp.float32),
+                  svy=jnp.zeros((SPILL_CAP,), jnp.float32),
+                  sidx=jnp.full((SPILL_CAP,), -1, jnp.int32),
+                  readmitted=jnp.int32(0))
+    sim = DenseSim(**kw)
     grid = _grid_from(z, "grid.")
     params = FluidParams(**_group(z, "params."))
     cfg = IntegrateConfig(**_group(z, "cfg."))

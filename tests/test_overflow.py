@@ -1,20 +1,24 @@
-"""Cell-capacity overflow: the degradation story, exercised (overflow > 0).
+"""Cell-capacity overflow: the degradation + RECOVERY story (overflow > 0).
 
 Every other test asserts overflow == 0; this one deliberately overfills a
-cell (9 particles at 0.01 spacing all hash to one 0.045 cell, cap=8) and
-pins down the DOCUMENTED per-solver behavior:
+cell (9 particles at 0.004 spacing all hash to one cell, cap=8) and pins
+down the DOCUMENTED per-solver behavior:
 
 * eager grid/pallas solvers: overflowed particles fall back to self-density
   and gravity-only acceleration — they keep integrating, nothing NaNs
   (models/grid_solver.py overflow fallback);
-* verlet solver: overflowed particles lose their slot and stay dead until
-  the run ends — they surface as FAR positions and are counted in the
-  overflow diagnostic (models/verlet_solver.py _extract docstring).
+* verlet solver: overflowed particles are SUSPENDED in a spill buffer
+  (frozen state, no forces) and RE-ADMITTED at a later rebin once their
+  cell has free capacity — the transient-compression case.  They surface
+  in extracted states at their frozen positions (never FAR unless the
+  spill itself overflows), drops are counted in ``overflow`` and
+  recoveries in ``readmitted`` (models/verlet_solver.py module docstring).
 
 In both cases: every lost interaction is COUNTED, dynamics stay finite, and
-the diagnostic lets callers size ``cap``.
+the diagnostics let callers size ``cap``/``spill_cap``.
 """
 
+import jax
 import jax.numpy as jnp
 
 from bevy_gpu_fluid_tpu import FluidParams, IntegrateConfig, init_grid
@@ -47,17 +51,56 @@ def test_eager_overflow_keeps_integrating():
     assert float(jnp.min(out.rho)) > 900.0
 
 
-def test_verlet_overflow_drops_and_counts():
+def test_verlet_overflow_suspends_counts_and_recovers():
+    grid = verlet_solver.default_grid(0.045, -1.0, 2.5, y_max=3.0, cap=8,
+                                      skin_factor=1.5)
+    state = crowded_state()
+    sess = verlet_solver.Session(state, PARAMS, CFG, grid)
+    # the init sort drops 1 of the 9 coincident-cell particles -> spill
+    assert sess.overflow == 1
+    assert sess.suspended == 1
+    # the suspended particle surfaces at its FROZEN position, not FAR
+    s0 = sess.state()
+    assert bool(jnp.isfinite(s0.x).all() & (s0.x < FAR * 0.5).all())
+    # the 8 slotted particles blast apart (enormous EOS pressure — this
+    # scene is deliberately violent; fast particles may cycle through
+    # window-loss -> spill -> re-admission), rebins fire, the crowded cell
+    # frees up, and the spilled particle re-admits
+    sess.run(60)
+    assert sess.readmitted >= 1
+    out = sess.state()
+    # conservation: every particle is resident or suspended-at-position —
+    # nothing is permanently lost to FAR
+    assert bool((out.x < FAR * 0.5).all())
+    assert bool(jnp.isfinite(out.x).all() & jnp.isfinite(out.vx).all())
+    # the formerly-suspended particle (idx 8 — rank 8 of the 9 coincident
+    # particles in the stable init sort) was re-admitted at some point and
+    # moved off its frozen drop position (gravity at minimum)
+    moved = jnp.abs(out.x[8] - s0.x[8]) + jnp.abs(out.y[8] - s0.y[8])
+    assert float(moved) > 0.0
+
+
+def test_verlet_multistep_overflow_diag_counts_drops():
     grid = verlet_solver.default_grid(0.045, -1.0, 2.5, y_max=3.0, cap=8,
                                       skin_factor=1.5)
     state = crowded_state()
     out, diag, _ = verlet_solver.multi_step(state, PARAMS, CFG, grid, 10)
-    n_over = int(diag.overflow)
-    assert n_over >= 1
-    live = out.x < FAR * 0.5
-    # dropped particles surface as FAR positions; everyone else is finite
-    assert int(jnp.sum(~live)) == n_over
-    assert bool(jnp.isfinite(jnp.where(live, out.x, 0.0)).all())
-    assert bool(jnp.isfinite(jnp.where(live, out.vx, 0.0)).all())
-    # live + dropped accounts for every particle: nothing silently vanishes
-    assert int(jnp.sum(live)) + n_over == state.n
+    # cumulative drop count still surfaces (recovery does not hide it)
+    assert int(diag.overflow) >= 1
+    # no particle is FAR: it is either resident or suspended-at-position
+    assert bool((out.x < FAR * 0.5).all())
+    assert bool(jnp.isfinite(out.x).all() & jnp.isfinite(out.vx).all())
+
+
+def test_verlet_recovery_conserves_under_jit_scan():
+    # recovery path inside lax.scan/cond compiles and conserves particles
+    grid = verlet_solver.default_grid(0.045, -1.0, 2.5, y_max=3.0, cap=8,
+                                      skin_factor=1.5)
+    state = crowded_state()
+
+    @jax.jit
+    def run(s):
+        return verlet_solver.multi_step(s, PARAMS, CFG, grid, 30)[0]
+    out = run(state)
+    assert bool((out.x < FAR * 0.5).all())
+    assert bool(jnp.isfinite(out.x).all())

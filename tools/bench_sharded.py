@@ -107,6 +107,14 @@ def main() -> int:
             s = run_k(s, 16)
             return s, frame_fn(s)
 
+        # fresh sim for the frames window: the step windows above already
+        # advanced ~500+ steps of this tall-column scene, and its default
+        # energy-injecting bounce compresses cells past capacity somewhere
+        # beyond ~1500 total steps (documented scene regime, CLAUDE.md) —
+        # re-init + the same warmup keeps the RECORDED frames window in the
+        # overflow-0 regime the step window is measured in
+        sim = init_fn(shard.shard_state(state, spec))
+        sim = jax.block_until_ready(run_k(sim, args.warmup_steps))
         sim, img = jax.block_until_ready(frame_step(sim))   # compile
         frames = 0
         t0 = time.time()
