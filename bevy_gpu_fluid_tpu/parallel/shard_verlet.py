@@ -40,10 +40,17 @@ real edge cell: the global bounce box clamps x into the domain, so a
 boundary-exact position that cells one past the slab is physically IN the
 edge cell, not an exit.
 
-NB: unlike the single-chip flagship (models/verlet_solver.py), the sharded
-path COUNTS capacity/migration losses (overflow/lost/dropped) but does not
-yet run the spill-buffer recovery — all published multi-chip scenes are
-overflow-0, where the two behave identically.
+Overflow RECOVERY (the single-chip flagship's spill semantics, sharded):
+pass ``n`` to ``make_sharded_verlet_step`` and every particle that
+disappears at a collective rebin — local reslot capacity/window losses AND
+migration arrivals dropped by a full edge cell — parks in a per-device
+spill buffer (state frozen, no forces) instead of vanishing.  Later rebins
+re-admit entries whose target cell has freed up, gated on the skin
+invariant (|v| dt <= skin_half; ballistic runaways stay suspended) and on
+the frozen position lying inside this device's slab.  Everything is local
+per device (no collectives in the recovery branch) and cond-gated, so
+overflow-0 scenes pay only the predicate.  Suspended particles surface in
+``extract_state``/``extract_fluid_state`` at their frozen positions.
 """
 
 from __future__ import annotations
@@ -66,10 +73,14 @@ from . import shard as sh
 AXIS = sh.AXIS
 
 
+SPILL_CAP = 256  # default per-device spill-buffer entries
+
+
 @partial(jax.tree_util.register_dataclass,
          data_fields=("xd", "yd", "vxd", "vyd", "rho_d", "ref_xd", "ref_yd",
                       "idx_d", "occ", "disp2", "alive", "age", "overflow",
-                      "lost", "dropped", "rebin_count", "step"),
+                      "lost", "dropped", "rebin_count", "step",
+                      "sx", "sy", "svx", "svy", "sidx", "readmitted"),
          meta_fields=())
 @dataclasses.dataclass
 class ShardedDenseSim:
@@ -91,6 +102,10 @@ class ShardedDenseSim:
     overflow: cumulative cell-capacity losses (reslot matches beyond cap)
     lost:     cumulative reslot window misses (structurally 0 — diagnostic)
     dropped:  cumulative migration losses (edge-cell merge beyond cap)
+    sx/sy/svx/svy/sidx: [D, spill_cap] per-device SPILL buffer (frozen
+              state of dropped particles awaiting re-admission; sidx -1 =
+              empty — see module docstring, recovery semantics)
+    readmitted: [D] cumulative spill re-admissions
     """
 
     xd: jax.Array
@@ -110,12 +125,25 @@ class ShardedDenseSim:
     dropped: jax.Array
     rebin_count: jax.Array
     step: jax.Array
+    sx: jax.Array
+    sy: jax.Array
+    svx: jax.Array
+    svy: jax.Array
+    sidx: jax.Array
+    readmitted: jax.Array
+
+    @property
+    def suspended(self) -> jax.Array:
+        """Particles currently parked in spill buffers (all devices)."""
+        return jnp.sum(self.sidx >= 0).astype(jnp.int32)
 
 
 def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
                              spec: sh.ShardSpec, mesh: Mesh, stencils=None,
                              max_age: int = 64, reslot=None,
-                             fused: bool = False, interpret=None):
+                             fused: bool = False, interpret=None,
+                             n: int | None = None,
+                             spill_cap: int = SPILL_CAP):
     """Returns (init_fn, step_fn):
     init_fn(ShardedState) -> ShardedDenseSim (jitted)
     step_fn(ShardedDenseSim) -> ShardedDenseSim (jitted)
@@ -128,7 +156,12 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
     the skin trigger reads per-device disp2 scalars the kernel epilogue
     wrote, with ghost-column lanes masked out of the displacement max).
     The default keeps the unfused ``stencils`` path (XLA stencils = the CI
-    reference)."""
+    reference).
+
+    ``n`` (the GLOBAL particle count) enables per-device overflow RECOVERY
+    at collective rebins (spill collection + skin-gated re-admission, see
+    module docstring); with ``n=None`` losses are counted but the spill
+    buffers are never refilled or drained."""
     from ..models import pallas_solver
 
     g = spec.local_grid
@@ -189,23 +222,114 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
         """Append src occupants ([F, ny_pad, cap] f32 planes, plane 0 = x,
         FAR = dead; idx rides bitcast) into column ``lane`` of the dense
         fields (len(fields) == F, same plane order) at ranks continuing
-        from base_cnt.  Returns (fields, n_dropped_beyond_cap)."""
+        from base_cnt.  Returns (fields, drop_mask [ny_pad, cap]) — the
+        mask marks src entries beyond cell capacity (the receiver's
+        recovery path collects them; callers sum it for the count)."""
         cols = [f[:, :, lane] for f in fields]          # [ny_pad, cap] each
         acc = jnp.minimum(base_cnt, cap)                # [ny_pad]
         kio = jnp.arange(cap, dtype=jnp.int32)[None, :]
-        drop = jnp.int32(0)
+        dmask = []
         for k in range(cap):
             live_k = src[0, :, k] < FAR * 0.5           # [ny_pad]
             dest = jnp.where(live_k, acc, -1)
             oh = dest[:, None] == kio                   # [ny_pad, cap]
             cols = [jnp.where(oh, src[i, :, k][:, None], c)
                     for i, c in enumerate(cols)]
-            drop = drop + jnp.sum(live_k & (acc >= cap)).astype(jnp.int32)
+            dmask.append(live_k & (acc >= cap))
             acc = acc + live_k
         fields = [f.at[:, :, lane].set(c) for f, c in zip(fields, cols)]
-        return fields, drop
+        return fields, jnp.stack(dmask, axis=-1)        # [ny_pad, cap]
 
-    def collective_rebin(xd, yd, vxd, vyd, idx_d, overflow, lost, dropped):
+    vmax2 = (skin_half / cfg.dt) ** 2
+
+    def _sh_recover(ops):
+        """Per-device spill recovery at a collective rebin (inside
+        lax.cond; NO collectives — the predicate may diverge per device).
+        Mirrors models/verlet_solver._spill_recover with two sharded
+        twists: candidates come from THREE sources (local reslot losses
+        via presence-diff against post+exports; the two edge-merge drop
+        masks), and re-admission additionally requires the frozen position
+        to lie inside THIS slab (the in-slab check is a safety net: every
+        collected source is in-slab by construction except ballistic
+        window losses, which the |v| gate already suspends)."""
+        (xd, yd, vxd, vyd, idx_d, pxd, pyd, pvxd, pvyd, pidx_d,
+         exi_l, exi_r, dm1, src1, dmn, srcn, ox,
+         sx, sy, svx, svy, sidx, readmitted) = ops
+        K = sx.shape[0]
+
+        # presence over the global id space: post-rebin residents + my
+        # exports (the receiver accounts for merged/dropped arrivals)
+        post = idx_d.reshape(-1)
+        pres = jnp.zeros((n,), bool).at[
+            jnp.where(post >= 0, post, n)].set(True, mode="drop")
+        for exi in (exi_l, exi_r):
+            e = exi.reshape(-1)
+            pres = pres.at[jnp.where(e >= 0, e, n)].set(True, mode="drop")
+        pre = pidx_d.reshape(-1)
+        total = pre.shape[0]
+        gone = (pre >= 0) & ~pres[jnp.clip(pre, 0, n - 1)]
+
+        def collect(mask_flat, planes_flat, count_hint):
+            pos = jnp.nonzero(mask_flat, size=count_hint,
+                              fill_value=mask_flat.shape[0])[0]
+            ok = pos < mask_flat.shape[0]
+            sf = jnp.minimum(pos, mask_flat.shape[0] - 1)
+            out = [jnp.where(ok, p[sf], fill)
+                   for p, fill in zip(planes_flat, (FAR, FAR, 0.0, 0.0))]
+            idxp = jnp.where(ok, planes_flat[4][sf], -1)
+            return out + [idxp]
+
+        batches = [collect(gone, (pxd.reshape(-1), pyd.reshape(-1),
+                                  pvxd.reshape(-1), pvyd.reshape(-1),
+                                  pre), K)]
+        for dm, src in ((dm1, src1), (dmn, srcn)):
+            # src: [5, ny_pad, cap] f32 planes (idx bitcast in plane 4)
+            sidxp = jax.lax.bitcast_convert_type(src[4], jnp.int32)
+            batches.append(collect(
+                dm.reshape(-1),
+                (src[0].reshape(-1), src[1].reshape(-1),
+                 src[2].reshape(-1), src[3].reshape(-1),
+                 sidxp.reshape(-1)), K))
+
+        pool = [jnp.concatenate([old] + [b[i] for b in batches])
+                for i, old in enumerate((sx, sy, svx, svy, sidx))]
+        keep = jnp.argsort(pool[4] < 0, stable=True)[:K]
+        sx, sy, svx, svy, sidx = (p[keep] for p in pool)
+
+        # re-admission: post-merge occupancy, local cells only
+        valid = sidx >= 0
+        occ_cell = jnp.sum(xd < FAR * 0.5, axis=1).astype(jnp.int32)
+        inv = 1.0 / g.cell_size
+        gx = jnp.where(valid, sx, ox)
+        gy = jnp.where(valid, sy, g.origin_y)
+        ccx = jnp.floor((gx - ox) * inv).astype(jnp.int32)
+        ccy = jnp.floor((gy - g.origin_y) * inv).astype(jnp.int32)
+        elig = (valid & (svx * svx + svy * svy <= vmax2)
+                & (ccx >= 0) & (ccx < g.nx) & (ccy >= 0) & (ccy < g.ny))
+        row = jnp.clip(ccy, 0, g.ny - 1) + g.row0
+        col = jnp.clip(ccx, 0, g.nx - 1) + 1
+        base = occ_cell[row, col]
+        cid = row * g.nx_pad + col
+        io = jnp.arange(K)
+        rank = jnp.sum((cid[:, None] == cid[None, :]) & elig[None, :]
+                       & (io[None, :] < io[:, None]), axis=1)
+        admit = elig & (base + rank < cap)
+        slot = jnp.where(admit, base + rank, cap + (1 << 20))
+        xd = xd.at[row, slot, col].set(sx, mode="drop")
+        yd = yd.at[row, slot, col].set(sy, mode="drop")
+        vxd = vxd.at[row, slot, col].set(svx, mode="drop")
+        vyd = vyd.at[row, slot, col].set(svy, mode="drop")
+        idx_d = idx_d.at[row, slot, col].set(sidx, mode="drop")
+        readmitted = readmitted + jnp.sum(admit).astype(jnp.int32)
+        sx = jnp.where(admit, FAR, sx)
+        sy = jnp.where(admit, FAR, sy)
+        svx = jnp.where(admit, 0.0, svx)
+        svy = jnp.where(admit, 0.0, svy)
+        sidx = jnp.where(admit, -1, sidx)
+        return xd, yd, vxd, vyd, idx_d, sx, sy, svx, svy, sidx, readmitted
+
+    def collective_rebin(xd, yd, vxd, vyd, idx_d, overflow, lost, dropped,
+                         sx, sy, svx, svy, sidx, readmitted):
         """Local reslot with ghost capture + one ppermute pair + edge-cell
         merge.  Ghost columns must arrive holding NEIGHBOUR values (per-step
         halo state) and leave cleared (FAR).  Identity (idx) rides the
@@ -219,6 +343,7 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
         vyd = clear_ghost_cols(vyd, 0.0)
         idx_d = clear_ghost_cols(idx_d, -1)
         alive_before = count_live(xd)
+        pre = (xd, yd, vxd, vyd, idx_d)     # recovery: pre-reslot snapshot
 
         d = jax.lax.axis_index(AXIS)
         xd, yd, vxd, vyd, idx_d, cnt = reslot(xd, yd, vxd, vyd, idx_d,
@@ -271,33 +396,69 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
             src_lane1, src_lane_nxl = ex_l, ex_r
 
         fields = [xd, yd, vxd, vyd, idx_f]
-        fields, drop1 = merge_col(fields, 1, src_lane1, cnt[:, 1])
-        fields, drop2 = merge_col(fields, nxl, src_lane_nxl, cnt[:, nxl])
+        fields, dm1 = merge_col(fields, 1, src_lane1, cnt[:, 1])
+        fields, dmn = merge_col(fields, nxl, src_lane_nxl, cnt[:, nxl])
         xd, yd, vxd, vyd, idx_f = fields
         idx_d = clear_ghost_cols(
             jax.lax.bitcast_convert_type(idx_f, jnp.int32), -1)
-        dropped = dropped + drop1 + drop2
-        return xd, yd, vxd, vyd, idx_d, overflow, lost, dropped
+        drop_now = (jnp.sum(dm1) + jnp.sum(dmn)).astype(jnp.int32)
+        dropped = dropped + drop_now
+
+        if n is not None:
+            # per-device recovery (local; predicate may diverge across
+            # devices — no collectives inside the branch)
+            need = ((alive_before - captured > 0) | (drop_now > 0)
+                    | jnp.any(sidx >= 0))
+            exi_l = jax.lax.bitcast_convert_type(ex_l[4], jnp.int32)
+            exi_r = jax.lax.bitcast_convert_type(ex_r[4], jnp.int32)
+            ops = (xd, yd, vxd, vyd, idx_d, *pre,
+                   exi_l, exi_r, dm1, src_lane1, dmn, src_lane_nxl,
+                   origin_of(d)[0],
+                   sx, sy, svx, svy, sidx, readmitted)
+            (xd, yd, vxd, vyd, idx_d, sx, sy, svx, svy, sidx,
+             readmitted) = jax.lax.cond(
+                need, _sh_recover,
+                lambda op: (op[0], op[1], op[2], op[3], op[4],
+                            op[17], op[18], op[19], op[20], op[21], op[22]),
+                ops)
+        return (xd, yd, vxd, vyd, idx_d, overflow, lost, dropped,
+                sx, sy, svx, svy, sidx, readmitted)
 
     def local_init(x, y, vx, vy, idx, alive, step):
         x, y, vx, vy, idx, alive = (a.reshape(a.shape[1:])
                                     for a in (x, y, vx, vy, idx, alive))
         b, xd, yd, vxd, vyd, idxd = bin_local(x, y, vx, vy, idx, alive)
+        # spill-collect the init sort's capacity drops (same as the
+        # single-chip init_dense) so rebins can re-admit them; dormant
+        # (empty) when recovery is off (n=None)
+        K = spill_cap
+        m = x.shape[0]
+        over = alive & (b.rank >= cap) if n is not None \
+            else jnp.zeros_like(alive)
+        dpos = jnp.nonzero(over, size=K, fill_value=m)[0]
+        dv = dpos < m
+        ds = jnp.minimum(dpos, m - 1)
         r1 = lambda a: a.reshape((1,) + a.shape)
         z = jnp.zeros_like(xd)
         return tuple(map(r1, (
             xd, yd, vxd, vyd, z, xd, yd, idxd, occ_of(xd),
             jnp.float32(0.0), count_live(xd),
             jnp.int32(0), b.overflow, jnp.int32(0), jnp.int32(0),
-            jnp.int32(1))))
+            jnp.int32(1),
+            jnp.where(dv, x[ds], FAR), jnp.where(dv, y[ds], FAR),
+            jnp.where(dv, vx[ds], 0.0), jnp.where(dv, vy[ds], 0.0),
+            jnp.where(dv, idx[ds], -1), jnp.int32(0))))
 
     def local_step(xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd, idx_d, occ,
-                   disp2, alive, age, overflow, lost, dropped, rebins, step):
+                   disp2, alive, age, overflow, lost, dropped, rebins,
+                   sx, sy, svx, svy, sidx, readmitted, step):
         sq = lambda a: a.reshape(a.shape[1:])
         (xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd, idx_d, occ, disp2, alive,
-         age, overflow, lost, dropped, rebins) = map(
+         age, overflow, lost, dropped, rebins,
+         sx, sy, svx, svy, sidx, readmitted) = map(
             sq, (xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd, idx_d, occ, disp2,
-                 alive, age, overflow, lost, dropped, rebins))
+                 alive, age, overflow, lost, dropped, rebins,
+                 sx, sy, svx, svy, sidx, readmitted))
 
         # collective rebin trigger: the stored per-device disp2 scalar,
         # computed at the END of the previous step over real columns only
@@ -310,21 +471,24 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
 
         def do_rebin(op):
             (xd, yd, vxd, vyd, idx_d, occ, age, overflow, lost, dropped,
-             rebins) = op
-            xd, yd, vxd, vyd, idx_d, overflow, lost, dropped = \
+             rebins, sx, sy, svx, svy, sidx, readmitted) = op
+            (xd, yd, vxd, vyd, idx_d, overflow, lost, dropped,
+             sx, sy, svx, svy, sidx, readmitted) = \
                 collective_rebin(xd, yd, vxd, vyd, idx_d, overflow, lost,
-                                 dropped)
+                                 dropped, sx, sy, svx, svy, sidx,
+                                 readmitted)
             return (xd, yd, vxd, vyd, idx_d, occ_of(xd), jnp.int32(0),
-                    overflow, lost, dropped, rebins + 1)
+                    overflow, lost, dropped, rebins + 1,
+                    sx, sy, svx, svy, sidx, readmitted)
 
         def no_rebin(op):
             return op
 
         (xd, yd, vxd, vyd, idx_d, occ, age, overflow, lost, dropped,
-         rebins) = jax.lax.cond(
+         rebins, sx, sy, svx, svy, sidx, readmitted) = jax.lax.cond(
             need, do_rebin, no_rebin,
             (xd, yd, vxd, vyd, idx_d, occ, age, overflow, lost, dropped,
-             rebins))
+             rebins, sx, sy, svx, svy, sidx, readmitted))
         ref_xd = jnp.where(need, xd, ref_xd)
         ref_yd = jnp.where(need, yd, ref_yd)
         alive = jnp.where(need, count_live(real(xd)), alive)
@@ -375,9 +539,10 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
         r1 = lambda a: a.reshape((1,) + a.shape)
         return tuple(map(r1, (xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd,
                               idx_d, occ, disp2, alive, age + 1, overflow,
-                              lost, dropped, rebins)))
+                              lost, dropped, rebins,
+                              sx, sy, svx, svy, sidx, readmitted)))
 
-    dense_specs = (P(AXIS),) * 16
+    dense_specs = (P(AXIS),) * 22
     init_sharded = jax.shard_map(
         local_init, mesh=mesh,
         in_specs=(P(AXIS),) * 6 + (P(),),
@@ -389,12 +554,14 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
 
     def _pack(out, step):
         (xd, yd, vxd, vyd, rho_d, rxd, ryd, idxd, occ, dsp, alive, age,
-         ovf, lost, drp, rbc) = out
+         ovf, lost, drp, rbc, sx, sy, svx, svy, sidx, readm) = out
         return ShardedDenseSim(xd=xd, yd=yd, vxd=vxd, vyd=vyd, rho_d=rho_d,
                                ref_xd=rxd, ref_yd=ryd, idx_d=idxd, occ=occ,
                                disp2=dsp, alive=alive, age=age,
                                overflow=ovf, lost=lost, dropped=drp,
-                               rebin_count=rbc, step=step)
+                               rebin_count=rbc, step=step,
+                               sx=sx, sy=sy, svx=svx, svy=svy, sidx=sidx,
+                               readmitted=readm)
 
     @jax.jit
     def init_fn(s: sh.ShardedState) -> ShardedDenseSim:
@@ -406,7 +573,9 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
         out = step_sharded(sim.xd, sim.yd, sim.vxd, sim.vyd, sim.rho_d,
                            sim.ref_xd, sim.ref_yd, sim.idx_d, sim.occ,
                            sim.disp2, sim.alive, sim.age, sim.overflow,
-                           sim.lost, sim.dropped, sim.rebin_count, sim.step)
+                           sim.lost, sim.dropped, sim.rebin_count,
+                           sim.sx, sim.sy, sim.svx, sim.svy, sim.sidx,
+                           sim.readmitted, sim.step)
         return _pack(out, sim.step + 1)
 
     return init_fn, step_fn
@@ -417,29 +586,35 @@ def extract_state(sim: ShardedDenseSim, spec: sh.ShardSpec,
     """Per-particle view for rendering/analysis (off the hot path): live
     dense slots compacted into per-device [capacity] buffers, vmapped over
     the device axis, with each particle's tracked original index in
-    ``idx``."""
+    ``idx``.  Suspended (spill) particles ride along at their frozen
+    positions with analytic self-density."""
     g = spec.local_grid
     M = spec.capacity
+    h2 = params.h * params.h
+    self_rho = params.m * (4.0 / (jnp.pi * h2 ** 4)) * h2 ** 3
 
-    def per_device(xd, yd, vxd, vyd, rho_d, idx_d):
+    def per_device(xd, yd, vxd, vyd, rho_d, idx_d, sx, sy, svx, svy, sidx):
         def real(a):
             return jax.lax.slice(
                 a, (g.row0, 0, 1),
                 (g.row0 + g.ny, g.cap, 1 + g.nx)).reshape(-1)
 
-        x = real(xd)
+        x = jnp.concatenate([real(xd), sx])
         R = x.shape[0]
         slot = jnp.flatnonzero(x < FAR * 0.5, size=M, fill_value=R)
         ok = slot < R
         safe = jnp.minimum(slot, R - 1)
 
-        def take(a, fill):
-            return jnp.where(ok, real(a)[safe], fill)
-        return (take(xd, FAR), take(yd, FAR), take(vxd, 0.0),
-                take(vyd, 0.0), take(rho_d, 0.0), take(idx_d, -1), ok)
+        def take(a, s, fill):
+            return jnp.where(ok, jnp.concatenate([real(a), s])[safe], fill)
+        srho = jnp.full_like(sx, self_rho)
+        return (take(xd, sx, FAR), take(yd, sy, FAR), take(vxd, svx, 0.0),
+                take(vyd, svy, 0.0), take(rho_d, srho, 0.0),
+                take(idx_d, sidx, -1), ok)
 
     x, y, vx, vy, rho, idx, ok = jax.vmap(per_device)(
-        sim.xd, sim.yd, sim.vxd, sim.vyd, sim.rho_d, sim.idx_d)
+        sim.xd, sim.yd, sim.vxd, sim.vyd, sim.rho_d, sim.idx_d,
+        sim.sx, sim.sy, sim.svx, sim.svy, sim.sidx)
     return sh.ShardedState(
         x=x, y=y, vx=vx, vy=vy, rho=rho,
         p=jnp.where(ok, eos_pressure(rho, params), 0.0),
@@ -474,6 +649,15 @@ def extract_fluid_state(sim: ShardedDenseSim, spec: sh.ShardSpec,
         jnp.stack([jnp.float32(FAR), jnp.float32(FAR), jnp.float32(0.0),
                    jnp.float32(0.0), self_rho]), (n, 5))
     out = init.at[safe].set(vals, mode="drop")
+    # spill overlay: suspended particles at their frozen state (their idx
+    # never appears in any device's dense planes)
+    sflat = sim.sidx.reshape(-1)
+    ssafe = jnp.where(sflat >= 0, sflat, n + (1 << 20))
+    svals = jnp.stack([sim.sx.reshape(-1), sim.sy.reshape(-1),
+                       sim.svx.reshape(-1), sim.svy.reshape(-1),
+                       jnp.full_like(sim.sx.reshape(-1), self_rho)],
+                      axis=-1)
+    out = out.at[ssafe].set(svals, mode="drop")
     rho = out[:, 4]
     z = jnp.zeros((n,), jnp.float32)
     return FluidState(x=out[:, 0], y=out[:, 1], vx=out[:, 2], vy=out[:, 3],

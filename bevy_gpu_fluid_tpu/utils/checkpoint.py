@@ -149,9 +149,19 @@ def load_sharded(path: str):
     n).  The arrays come back host-resident; the first jitted step re-lays
     them out over whatever mesh the rebuilt step function runs on."""
     from ..parallel.shard import ShardSpec
-    from ..parallel.shard_verlet import ShardedDenseSim
+    from ..parallel.shard_verlet import ShardedDenseSim, SPILL_CAP
+    from ..ops.binning import FAR
     z = np.load(_norm(path))
-    sim = ShardedDenseSim(**_group(z, "sim."))
+    kw = _group(z, "sim.")
+    if "sidx" not in kw:       # pre-recovery snapshot: empty spill buffers
+        D = int(kw["xd"].shape[0])
+        kw.update(sx=jnp.full((D, SPILL_CAP), FAR, jnp.float32),
+                  sy=jnp.full((D, SPILL_CAP), FAR, jnp.float32),
+                  svx=jnp.zeros((D, SPILL_CAP), jnp.float32),
+                  svy=jnp.zeros((D, SPILL_CAP), jnp.float32),
+                  sidx=jnp.full((D, SPILL_CAP), -1, jnp.int32),
+                  readmitted=jnp.zeros((D,), jnp.int32))
+    sim = ShardedDenseSim(**kw)
     spec = ShardSpec(
         n_devices=int(z["spec.n_devices"]),
         nx_local=int(z["spec.nx_local"]),

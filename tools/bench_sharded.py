@@ -54,9 +54,10 @@ def main() -> int:
         y_max=extent * 1.1 + 1.0, n_devices=args.devices,
         capacity=-(-n // args.devices) * 2)
     mesh = shard.make_mesh(args.devices)
-    # the fused hardware path: Pallas density + fused forces+integrate
+    # the fused hardware path: Pallas density + fused forces+integrate,
+    # with overflow recovery armed (n=) — the full production shape
     init_fn, step_fn = shard_verlet.make_sharded_verlet_step(
-        params, cfg, spec, mesh, fused=True)
+        params, cfg, spec, mesh, fused=True, n=n)
 
     from functools import partial
 
