@@ -42,6 +42,11 @@ def main() -> int:
                     help="also time the sharded step+render loop "
                          "(parallel/shard_render.py strips, 16 substeps + "
                          "one on-device frame per iteration)")
+    ap.add_argument("--frames-skin", type=float, default=1.5,
+                    help="skin for the --frames phase (default 1.5, like "
+                         "bench.py --frames: the streaming window runs "
+                         "1500+ steps of the deep-column scene, where 1.75 "
+                         "brushes capacity overflow)")
     args = ap.parse_args()
 
     side = int(math.isqrt(args.n))
@@ -101,26 +106,34 @@ def main() -> int:
 
     if args.frames:
         from bevy_gpu_fluid_tpu.parallel import shard_render
-        frame_fn = shard_render.make_sharded_frame(params, spec, mesh)
+
+        # fresh sim on its own (shallower-skin) grid for the frames window:
+        # the streaming loop runs 1500+ total steps of this tall-column
+        # scene, where skin 1.75 brushes capacity overflow (documented
+        # scene regime, CLAUDE.md) — same split as bench.py --frames-skin
+        fspec = shard.ShardSpec.build(
+            h=0.045 * args.frames_skin, x_min=-1.0, x_max=extent + 1.0,
+            y_max=extent * 1.1 + 1.0, n_devices=args.devices,
+            capacity=-(-n // args.devices) * 2)
+        finit_fn, fstep_fn = shard_verlet.make_sharded_verlet_step(
+            params, cfg, fspec, mesh, fused=True, n=n)
+        frame_fn = shard_render.make_sharded_frame(params, fspec, mesh)
 
         @jax.jit
         def frame_step(s):
-            s = run_k(s, 16)
+            def body(st, _):
+                return fstep_fn(st), None
+            s = jax.lax.scan(body, s, None, length=16)[0]
             return s, frame_fn(s)
 
-        # fresh sim for the frames window: the step windows above already
-        # advanced ~500+ steps of this tall-column scene, and its default
-        # energy-injecting bounce compresses cells past capacity somewhere
-        # beyond ~1500 total steps (documented scene regime, CLAUDE.md) —
-        # re-init + the same warmup keeps the RECORDED frames window in the
-        # overflow-0 regime the step window is measured in
-        sim = init_fn(shard.shard_state(state, spec))
-        sim = jax.block_until_ready(run_k(sim, args.warmup_steps))
-        sim, img = jax.block_until_ready(frame_step(sim))   # compile
+        sim_f = finit_fn(shard.shard_state(state, fspec))
+        for _ in range(args.warmup_steps // 16):
+            sim_f, img = frame_step(sim_f)
+        jax.block_until_ready(img)                          # compile+warm
         frames = 0
         t0 = time.time()
         while time.time() - t0 < 5.0:
-            sim, img = frame_step(sim)
+            sim_f, img = frame_step(sim_f)
             jax.block_until_ready(img)
             frames += 1
         fdt = (time.time() - t0) / frames
@@ -129,7 +142,7 @@ def main() -> int:
               f"{fdt * 1e3:.1f} ms/frame ({1 / fdt:.1f} FPS) at "
               f"{img.shape[0]}x{img.shape[1]} = {frate / 1e6:.1f}M "
               f"particle-steps/s incl. rendering, overflow="
-              f"{int(sim.overflow.max())}", file=sys.stderr)
+              f"{int(sim_f.overflow.max())}", file=sys.stderr)
 
     print(f'{{"metric": "sharded_verlet_psteps_per_sec_D{args.devices}", '
           f'"value": {rate:.1f}, "unit": "particle-steps/s", '
