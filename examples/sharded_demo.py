@@ -67,7 +67,8 @@ def main() -> None:
     mesh = shard.make_mesh(args.devices)
     init_fn, step_fn = shard_verlet.make_sharded_verlet_step(
         params, cfg, spec, mesh, fused=True,
-        interpret=True if args.cpu else None)
+        interpret=True if args.cpu else None,
+        n=args.n_cols * args.n_rows)   # overflow recovery armed
     frame_fn = shard_render.make_sharded_frame(
         params, spec, mesh, interpret=True if args.cpu else None)
 
