@@ -205,7 +205,13 @@ def bench_golden_step(side: int = 70) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1_000_000)
-    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--steps", type=int, default=300,
+                    help="timed window length (ONE dispatch).  300 amortizes "
+                         "this rig's ~27 ms/dispatch tunnel latency (13%% of "
+                         "the measured step time at 100) while staying inside "
+                         "the scene's overflow-0 regime; 500 reaches the "
+                         "compressed phase (rebin cadence 1/4.3, overflow>0) "
+                         "and is SLOWER per step — the scene, not the solver")
     ap.add_argument("--cap", type=int, default=8)
     ap.add_argument("--solver", choices=["verlet", "pallas"],
                     default="verlet")
