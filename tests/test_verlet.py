@@ -73,11 +73,13 @@ def test_session_matches_multi_step():
 
     state = init_grid(16, 16, 0.04)
     batch, diag, _ = verlet_solver.multi_step(
-        state, PARAMS, CFG, VGRID, 30, stencils=grid_solver.XLA_STENCILS)
+        state, PARAMS, CFG, VGRID, 20, stencils=grid_solver.XLA_STENCILS)
     sess = Session(state, PARAMS, CFG, VGRID,
                    stencils=grid_solver.XLA_STENCILS)
     sess.run(10)
-    sess.run(20)                       # split across calls: state persists
+    sess.run(10)                       # split across calls: state persists
+    # (same length both calls: the second reuses the jitted run_k program —
+    # the split-persistence contract is what's under test, not a new trace)
     out = sess.state()
     assert sess.overflow == 0 and int(diag.overflow) == 0
     # not bitwise: splitting the scan across two jitted programs lets XLA
@@ -86,8 +88,8 @@ def test_session_matches_multi_step():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(out.rho), np.asarray(batch.rho),
                                rtol=1e-6)
-    assert int(out.step) == 30
+    assert int(out.step) == 20
 
     img = sess.run_frame(substeps=2)
     assert img.dtype == jnp.uint8 and img.shape[2] == 3
-    assert int(sess.sim.step) == 32
+    assert int(sess.sim.step) == 22
