@@ -79,6 +79,13 @@ _EPS = 1e-6  # grad/laplacian zero-distance cutoff (sph_density.wgsl:1)
 # with 85 blocks, -19% at 10k with ~10 blocks).
 _DBUF_MIN_BLOCKS = 20
 
+# Below this many row blocks the verlet step runs the MONO kernel (density
+# + forces + integrate in ONE launch, halo-rho recomputed in-VMEM): at
+# small grids the second kernel's fixed launch cost outweighs the +2/tb
+# density recompute.  Measured crossover on the v5e: 10k (11 blocks)
+# mono wins ~25%; 1M (73 blocks) the two-kernel+double-buffer path wins.
+_MONO_MAX_BLOCKS = 20
+
 
 def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
@@ -449,6 +456,180 @@ def _forces_integrate_kernel(pr, occ, x_hbm, y_hbm, vx_hbm, vy_hbm, rho_hbm,
     disp_ref[...] = jnp.full((1, 8, 128), jnp.max(d2), jnp.float32)
 
 
+def _mono_step_kernel(pr, occ, x_hbm, y_hbm, vx_hbm, vy_hbm,
+                      refx_hbm, refy_hbm,
+                      ox_ref, oy_ref, ovx_ref, ovy_ref, orho_ref, disp_ref,
+                      xs, ys, vxs, vys, ps, irs, rxs, rys, sems, *,
+                      tb, nb, adaptive):
+    """MONO-kernel step: density + EOS + forces + integrate + bounce +
+    skin-trigger in ONE pass.  The program recomputes density for its own
+    rows PLUS one halo row each side ((tb+2) i-rows from a (tb+4)-row x/y
+    window), so the forces loop can read neighbour pressure without a rho
+    round-trip through HBM — rho never feeds another kernel, one kernel
+    launch per step instead of two.  Live-slot halo rho is exactly what the
+    neighbour program computes for those rows (same (kj,dx,dy) loop, same
+    per-element arithmetic; extra fori iterations past a row's occupancy
+    append exact zeros); FAR slots inside the widened slot bound pick up
+    their r=0 self-pair (the analytic self-density) where the two-kernel
+    path's zero bound left 0 — harmless, every FAR j-contribution is
+    exactly zero through the hr gate and every consumer of rho_d masks
+    dead slots.  Mono vs two-kernel outputs agree to ulp level (XLA fuses
+    the programs differently, so FMA contraction differs) — asserted in
+    interpret mode by tests/test_mono.py.
+
+    Shipped for SMALL grids (``_MONO_MAX_BLOCKS``): the extra 2/tb density
+    recompute (+25% of density flops at tb=8) loses to the saved kernel
+    launch + rho traffic only while fixed per-kernel cost is a visible
+    fraction of the step.  Single-buffered DMA — the small grids this
+    serves are the ones where the double-buffer bookkeeping loses anyway
+    (``_DBUF_MIN_BLOCKS``)."""
+    r = pl.program_id(0)
+    row_xy = (r + 1) * tb - 2    # (tb+4)-row density window
+    row_v = (r + 1) * tb - 1     # (tb+2)-row forces window
+    copies = [
+        _copy_slab(x_hbm, xs, sems.at[0], row_xy, tb + 4),
+        _copy_slab(y_hbm, ys, sems.at[1], row_xy, tb + 4),
+        _copy_slab(vx_hbm, vxs, sems.at[2], row_v, tb + 2),
+        _copy_slab(vy_hbm, vys, sems.at[3], row_v, tb + 2),
+        _copy_slab(refx_hbm, rxs, sems.at[4], row_v + 1, tb),
+        _copy_slab(refy_hbm, rys, sems.at[5], row_v + 1, tb),
+    ]
+    for c in copies:
+        c.start()
+    copies[0].wait()
+    copies[1].wait()
+
+    h = pr[0, 0]
+    m = pr[0, 1]
+    rho0 = pr[0, 2]
+    k = pr[0, 3]
+    mu = pr[0, 4]
+    dt = pr[1, 0]
+    x_min = pr[1, 1]
+    x_max = pr[1, 2]
+    bounce = pr[1, 3]
+    floor_y = pr[1, 4]
+    h2 = h * h
+    h5 = (h2 * h2) * h
+    spiky_c = -10.0 / (jnp.pi * h5)
+    visc_c = 40.0 / (jnp.pi * h5)
+    cap = xs.shape[1]
+
+    # ---- density over (tb+2) i-rows (slab rows 1..tb+2 of the (tb+4)
+    # window).  The j-window unions one extra row each side vs the
+    # two-kernel bound, so the slot bound takes the neighbouring blocks'
+    # outermost shifts too (clamped at the grid edge: the extra maxes can
+    # only loosen, and the edge windows are ghost rows with occ 0).
+    td = tb + 2
+    xi_d = jax.lax.slice_in_dim(xs[...], 1, 1 + td, axis=0)
+    yi_d = jax.lax.slice_in_dim(ys[...], 1, 1 + td, axis=0)
+    if adaptive:
+        rm = jnp.maximum(r - 1, 0)
+        rp = jnp.minimum(r + 1, nb - 1)
+        kmax_d = jnp.maximum(
+            jnp.maximum(jnp.maximum(occ[0, rm], occ[0, r]),
+                        jnp.maximum(occ[1, r], occ[2, r])),
+            occ[2, rp])
+        kmax_f = jnp.maximum(jnp.maximum(occ[0, r], occ[1, r]), occ[2, r])
+    else:
+        kmax_d = kmax_f = cap
+
+    def dbody(kj, rho):
+        xkf = xs[:, pl.ds(kj, 1), :]
+        ykf = ys[:, pl.ds(kj, 1), :]
+        for dx in (-1, 0, 1):
+            rxf = _roll(xkf, dx)
+            ryf = _roll(ykf, dx)
+            for dy in (-1, 0, 1):
+                rx = jax.lax.slice_in_dim(rxf, 1 + dy, 1 + dy + td, axis=0)
+                ry = jax.lax.slice_in_dim(ryf, 1 + dy, 1 + dy + td, axis=0)
+                ddx = xi_d - rx
+                ddy = yi_d - ry
+                r2 = ddx * ddx + ddy * ddy
+                d = jnp.maximum(h2 - r2, 0.0)
+                rho = rho + d * d * d
+        return rho
+    rho = jax.lax.fori_loop(0, kmax_d, dbody, jnp.zeros_like(xi_d))
+    rho = rho * (m * 4.0 / (jnp.pi * (h2 * h2) * (h2 * h2)))
+
+    irs[...] = 1.0 / jnp.maximum(rho, 1e-12)
+    ps[...] = k * jnp.maximum(rho - rho0, 0.0)
+    orho_ref[...] = jax.lax.slice_in_dim(rho, 1, 1 + tb, axis=0)
+
+    for c in copies[2:]:
+        c.wait()
+
+    # ---- forces over the block's own tb i-rows.  x/y i-views sit at slab
+    # row 2 of the (tb+4) window; vx/vy/p/ir i-views at row 1 of their
+    # (tb+2) slabs — identical arithmetic & order to _forces_kernel.
+    xi = jax.lax.slice_in_dim(xs[...], 2, 2 + tb, axis=0)
+    yi = jax.lax.slice_in_dim(ys[...], 2, 2 + tb, axis=0)
+    vxi = _shift(vxs[...], 0, tb)
+    vyi = _shift(vys[...], 0, tb)
+    pi_ = _shift(ps[...], 0, tb)
+
+    def fbody(kj, carry):
+        ax, ay = carry
+        xkf = xs[:, pl.ds(kj, 1), :]
+        ykf = ys[:, pl.ds(kj, 1), :]
+        vxkf = vxs[:, pl.ds(kj, 1), :]
+        vykf = vys[:, pl.ds(kj, 1), :]
+        pkf = ps[:, pl.ds(kj, 1), :]
+        ikf = irs[:, pl.ds(kj, 1), :]
+        for dx in (-1, 0, 1):
+            rxf, ryf = _roll(xkf, dx), _roll(ykf, dx)
+            rvxf, rvyf = _roll(vxkf, dx), _roll(vykf, dx)
+            rpf, rif = _roll(pkf, dx), _roll(ikf, dx)
+            for dy in (-1, 0, 1):
+                rx = jax.lax.slice_in_dim(rxf, 2 + dy, 2 + dy + tb, axis=0)
+                ry = jax.lax.slice_in_dim(ryf, 2 + dy, 2 + dy + tb, axis=0)
+                rvx, rvy = _shift(rvxf, dy, tb), _shift(rvyf, dy, tb)
+                rp, ri = _shift(rpf, dy, tb), _shift(rif, dy, tb)
+                ddx = xi - rx
+                ddy = yi - ry
+                r2 = ddx * ddx + ddy * ddy
+                # branch-free gating, as _forces_kernel (see its comment)
+                inv_r = jax.lax.rsqrt(r2 + _EPS * _EPS)
+                dist = r2 * inv_r
+                hr = jnp.maximum(h - dist, 0.0)
+                fac_p = (-m * 0.5) * (pi_ + rp) * ri \
+                    * (spiky_c * hr * hr * inv_r)
+                fac_v = (mu * m * visc_c) * ri * hr
+                ax = ax + (fac_p * ddx + fac_v * (rvx - vxi))
+                ay = ay + (fac_p * ddy + fac_v * (rvy - vyi))
+        return ax, ay
+    ax, ay = jax.lax.fori_loop(0, kmax_f, fbody,
+                               (jnp.zeros_like(xi), jnp.zeros_like(xi)))
+
+    # ---- integrate + bounce + skin displacement, as
+    # _forces_integrate_kernel ----
+    live = xi < 1e8
+    vx = vxi + (ax) * dt
+    vy = vyi + (ay + GRAVITY_Y) * dt
+    x = xi + vx * dt
+    y = yi + vy * dt
+    below = y < floor_y
+    y = jnp.where(below, floor_y, y)
+    vy = jnp.where(below, vy * bounce, vy)
+    right = x > x_max
+    x = jnp.where(right, x_max, x)
+    vx = jnp.where(right, vx * bounce, vx)
+    left = x < x_min
+    x = jnp.where(left, x_min, x)
+    vx = jnp.where(left, vx * bounce, vx)
+    x = jnp.where(live, x, xi)
+    y = jnp.where(live, y, yi)
+    ox_ref[...] = x
+    oy_ref[...] = y
+    ovx_ref[...] = jnp.where(live, vx, 0.0)
+    ovy_ref[...] = jnp.where(live, vy, 0.0)
+
+    drx = x - rxs[...]
+    dry = y - rys[...]
+    d2 = jnp.where(live, drx * drx + dry * dry, 0.0)
+    disp_ref[...] = jnp.full((1, 8, 128), jnp.max(d2), jnp.float32)
+
+
 def _params_vec(params: FluidParams) -> jax.Array:
     return jnp.stack([params.h, params.m, params.rho_0, params.k,
                       params.mu, 0.0, 0.0, 0.0]).reshape(1, 8)
@@ -612,6 +793,58 @@ def forces_integrate_pallas(xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd,
     ovx = ovx.at[:tb].set(0.0).at[-tb:].set(0.0)
     ovy = ovy.at[:tb].set(0.0).at[-tb:].set(0.0)
     return ox, oy, ovx, ovy, jnp.max(disp)
+
+
+def mono_step_pallas(xd, yd, vxd, vyd, ref_xd, ref_yd,
+                     params: FluidParams, cfg: IntegrateConfig,
+                     grid: GridSpec2D,
+                     interpret: bool | None = None,
+                     adaptive: bool = True, occ=None):
+    """MONO-kernel step: density + forces + integrate + trigger in one
+    launch (see ``_mono_step_kernel``).  Returns (xd', yd', vxd', vyd',
+    rho_d, disp2) — the same contract as density_pallas +
+    forces_integrate_pallas combined (ulp-level agreement; see
+    the kernel docstring)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    tb = grid.row_block
+    nb = grid.n_row_blocks
+    kernel = functools.partial(_mono_step_kernel, tb=tb, nb=nb,
+                               adaptive=adaptive)
+    if occ is None:
+        occ = block_kmax3(xd, grid)
+    out = jax.ShapeDtypeStruct(xd.shape, jnp.float32)
+    dshape = jax.ShapeDtypeStruct((nb, 8, 128), jnp.float32)
+    block = pl.BlockSpec((tb, grid.cap, grid.nx_pad), lambda r: (r + 1, 0, 0))
+    dblock = pl.BlockSpec((1, 8, 128), lambda r: (r, 0, 0))
+    slab4 = pltpu.VMEM((tb + 4, grid.cap, grid.nx_pad), jnp.float32)
+    slab2 = pltpu.VMEM((tb + 2, grid.cap, grid.nx_pad), jnp.float32)
+    ref1 = pltpu.VMEM((tb, grid.cap, grid.nx_pad), jnp.float32)
+    ox, oy, ovx, ovy, orho, disp = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((2, 8), lambda r: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((3, nb), lambda r: (0, 0),
+                               memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 6,
+        out_specs=(block, block, block, block, block, dblock),
+        out_shape=(out, out, out, out, out, dshape),
+        scratch_shapes=[slab4, slab4, slab2, slab2, slab2, slab2,
+                        ref1, ref1,
+                        pltpu.SemaphoreType.DMA((6,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(_params_cfg_vec(params, cfg), occ, xd, yd, vxd, vyd, ref_xd, ref_yd)
+    # pin the outer ghost blocks, as forces_integrate_pallas/density_pallas
+    from ..ops.binning import FAR
+    ox = ox.at[:tb].set(FAR).at[-tb:].set(FAR)
+    oy = oy.at[:tb].set(FAR).at[-tb:].set(FAR)
+    ovx = ovx.at[:tb].set(0.0).at[-tb:].set(0.0)
+    ovy = ovy.at[:tb].set(0.0).at[-tb:].set(0.0)
+    orho = orho.at[:tb].set(0.0).at[-tb:].set(0.0)
+    return ox, oy, ovx, ovy, orho, jnp.max(disp)
 
 
 def make_stencils(grid: GridSpec2D, interpret: bool | None = None,

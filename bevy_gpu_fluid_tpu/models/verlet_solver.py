@@ -331,6 +331,10 @@ def make_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
     Explicit ``stencils`` (XLA fallback / custom) keep the unfused path
     with the same stored-disp2 trigger semantics."""
     fused = stencils is None
+    # small grids take the MONO kernel (one launch/step, halo-rho
+    # recomputed in-VMEM — ulp-level identical to the two-kernel path);
+    # large grids keep density + fused-forces with double-buffered DMA
+    mono = fused and grid.n_row_blocks < pallas_solver._MONO_MAX_BLOCKS
     if fused:
         density_fn, _ = pallas_solver.make_stencils(grid)
     else:
@@ -388,6 +392,14 @@ def make_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
         # same reference — the same value the old pre-step reduction read
         need = (sim.disp2 > skin_half * skin_half) | (sim.age >= max_age)
         sim = jax.lax.cond(need, rebin, lambda s: s, sim)
+
+        if mono:
+            xd, yd, vxd, vyd, rho_d, disp2 = pallas_solver.mono_step_pallas(
+                sim.xd, sim.yd, sim.vxd, sim.vyd,
+                sim.ref_xd, sim.ref_yd, params, cfg, grid, occ=sim.occ)
+            return dataclasses.replace(
+                sim, xd=xd, yd=yd, vxd=vxd, vyd=vyd, rho_d=rho_d,
+                disp2=disp2, age=sim.age + 1, step=sim.step + 1)
 
         rho_d = density_fn(sim.xd, sim.yd, params, occ=sim.occ)
 

@@ -34,7 +34,7 @@ from bevy_gpu_fluid_tpu.parallel import shard, shard_verlet
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1_000_000)
-    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--warmup-steps", type=int, default=300)
     ap.add_argument("--devices", type=int, default=1)
     ap.add_argument("--skin", type=float, default=1.75)
@@ -76,13 +76,23 @@ def main() -> int:
     state = bgf.init_grid(side, side, 0.04)
     sim = init_fn(shard.shard_state(state, spec))
 
+    # differential window, like bench.py: a steps- and a 2*steps-dispatch
+    # from the same post-warmup snapshot, subtracted — per-dispatch tunnel
+    # overhead (~20-27 ms on this rig) cancels
     t0 = time.time()
-    sim = jax.block_until_ready(run_k(sim, args.warmup_steps))
-    sim = jax.block_until_ready(run_k(sim, args.steps))
+    snap = jax.block_until_ready(run_k(sim, args.warmup_steps))
+    sim = jax.block_until_ready(run_k(snap, args.steps))
+    sim = jax.block_until_ready(run_k(snap, 2 * args.steps))
     t_compile = time.time() - t0
-    t0 = time.time()
-    sim = jax.block_until_ready(run_k(sim, args.steps))
-    dt = time.time() - t0
+    t_short = t_long = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        jax.block_until_ready(run_k(snap, args.steps))
+        t_short = min(t_short, time.time() - t0)
+        t0 = time.time()
+        sim = jax.block_until_ready(run_k(snap, 2 * args.steps))
+        t_long = min(t_long, time.time() - t0)
+    dt = t_long - t_short
 
     alive = int(jnp.sum(sim.alive))
     ovf = int(sim.overflow.max())
@@ -98,8 +108,10 @@ def main() -> int:
     print(f"# sharded-verlet D={args.devices} n={n} "
           f"compile+warmup={t_compile:.1f}s "
           f"{dt / args.steps * 1e3:.2f} ms/step = {rate / 1e6:.1f}M "
-          f"particle-steps/s | alive {alive}/{n} overflow={ovf} "
-          f"dropped={drp} rebins={int(sim.rebin_count.max())} "
+          f"particle-steps/s (differential; inclusive "
+          f"{t_short / args.steps * 1e3:.2f} ms/step, dispatch~"
+          f"{(2 * t_short - t_long) * 1e3:.1f}ms) | alive {alive}/{n} "
+          f"overflow={ovf} dropped={drp} rebins={int(sim.rebin_count.max())} "
           f"identity={'exact' if id_ok else 'BROKEN'}",
           file=sys.stderr)
     ok = alive == n and ovf == 0 and drp == 0 and id_ok
