@@ -82,8 +82,10 @@ _DBUF_MIN_BLOCKS = 20
 # Below this many row blocks the verlet step runs the MONO kernel (density
 # + forces + integrate in ONE launch, halo-rho recomputed in-VMEM): at
 # small grids the second kernel's fixed launch cost outweighs the +2/tb
-# density recompute.  Measured crossover on the v5e: 10k (11 blocks)
-# mono wins ~25%; 1M (73 blocks) the two-kernel+double-buffer path wins.
+# density recompute; large grids keep the two-kernel + double-buffered-DMA
+# path (the pair loops are VPU-bound there and the mono kernel cannot
+# double-buffer its wider windows).  Threshold set at the same scale the
+# DBUF gate flips; hardware A/B below.
 _MONO_MAX_BLOCKS = 20
 
 
