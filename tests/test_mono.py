@@ -58,6 +58,38 @@ def test_mono_bitwise_matches_two_kernel():
     assert abs(float(dm) - float(d2)) <= 1e-12
 
 
+def test_mono_edge_blocks_match_two_kernel():
+    # particles pushed against the TOP of the domain: the last interior
+    # block's widened density window and the clamped slot-bound reads
+    # (rm/rp at the grid edges) carry real occupancy
+    import jax.numpy as jnp
+    import dataclasses
+    state = init_grid(24, 24, 0.04)
+    state = dataclasses.replace(state, y=state.y + (3.0 - 0.04 * 26))
+    sim = verlet_solver.init_dense(state, VGRID)
+    occ = reslot_ops.block_kmax3(sim.xd, VGRID)
+    rho_ref = pallas_solver.density_pallas(
+        sim.xd, sim.yd, PARAMS, VGRID, interpret=True, occ=occ)
+    x2, y2, vx2, vy2, d2 = pallas_solver.forces_integrate_pallas(
+        sim.xd, sim.yd, sim.vxd, sim.vyd, rho_ref,
+        sim.ref_xd, sim.ref_yd, PARAMS, CFG, VGRID,
+        interpret=True, occ=occ)
+    xm, ym, vxm, vym, rhom, dm = pallas_solver.mono_step_pallas(
+        sim.xd, sim.yd, sim.vxd, sim.vyd,
+        sim.ref_xd, sim.ref_yd, PARAMS, CFG, VGRID,
+        interpret=True, occ=occ)
+    live = np.asarray(sim.xd) < 5e8
+    assert live.any()
+    # some occupancy must actually live in the last two interior blocks
+    tb = VGRID.row_block
+    assert live[-3 * tb:].any(), "scene failed to reach the top blocks"
+    np.testing.assert_array_equal(np.asarray(rhom)[live],
+                                  np.asarray(rho_ref)[live])
+    for a, b, tol in ((xm, x2, 1e-9), (ym, y2, 1e-9),
+                      (vxm, vx2, 5e-7), (vym, vy2, 5e-7)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=tol)
+
+
 def test_mono_is_the_small_grid_default():
     # the flagship default step at this grid size takes the mono path;
     # multi-step physics must agree bitwise with the explicit two-kernel
