@@ -65,31 +65,11 @@ def test_identical_to_eager_when_skin_never_exceeded():
     assert float(jnp.max(jnp.abs(v.vx - e.vx))) < 1e-6
 
 
-def test_session_matches_multi_step():
-    # the persistent Session must step identically to the batch multi_step
-    # (same init binning, same step fn) and extract the same state
-    import numpy as np
-    from bevy_gpu_fluid_tpu.models.verlet_solver import Session
-
-    state = init_grid(16, 16, 0.04)
-    batch, diag, _ = verlet_solver.multi_step(
-        state, PARAMS, CFG, VGRID, 20, stencils=grid_solver.XLA_STENCILS)
-    sess = Session(state, PARAMS, CFG, VGRID,
-                   stencils=grid_solver.XLA_STENCILS)
-    sess.run(10)
-    sess.run(10)                       # split across calls: state persists
-    # (same length both calls: the second reuses the jitted run_k program —
-    # the split-persistence contract is what's under test, not a new trace)
-    out = sess.state()
-    assert sess.overflow == 0 and int(diag.overflow) == 0
-    # not bitwise: splitting the scan across two jitted programs lets XLA
-    # schedule the step body differently (observed ~3e-8)
-    np.testing.assert_allclose(np.asarray(out.x), np.asarray(batch.x),
-                               atol=1e-6)
-    np.testing.assert_allclose(np.asarray(out.rho), np.asarray(batch.rho),
-                               rtol=1e-6)
-    assert int(out.step) == 20
-
-    img = sess.run_frame(substeps=2)
-    assert img.dtype == jnp.uint8 and img.shape[2] == 3
-    assert int(sess.sim.step) == 22
+# NOTE: the Session-vs-multi_step contract is gated (bitwise, stricter
+# than the tolerance check that used to live here) by
+# tests/test_session.py::test_session_matches_multi_step on the flagship
+# fused path.  The Session glue (run_k / state() / run_frame) is
+# stencil-independent, and the XLA-stencil step itself is gated above by
+# the run100[xla] fixture tests — repeating the Session pairing with
+# explicit XLA stencils re-traced three large XLA-stencil programs for
+# 252 s of the suite's 19 min with no added coverage, so it was removed.
