@@ -32,6 +32,13 @@ Contract and caveats:
   (fine for a pinned fleet; re-export on upgrades).  CPU/interpret-mode
   programs contain no custom calls and are portable across versions
   within jax.export's compatibility window.
+* MULTI-CHIP programs export too: shardings ride along automatically
+  (``exported_bytes`` copies each example leaf's ``NamedSharding`` into
+  its spec, so the shard_map collectives and the mesh shape are baked
+  into the artifact — ``nr_devices`` is recorded and enforced at call
+  time).  ``export_sharded_run`` packages a sharded-verlet step program;
+  the worker must call it with arrays sharded over an identically-shaped
+  mesh (tests/test_aot.py proves D=2 bitwise round-trip on the CPU mesh).
 """
 
 from __future__ import annotations
@@ -56,8 +63,17 @@ def exported_bytes(fn, *example_args, platforms=None,
         out = fn(*args)
         return tuple(tree_util.tree_leaves(out))
 
-    specs = [jax.ShapeDtypeStruct(l.shape, l.dtype)
-             for l in map(jax.numpy.asarray, leaves)]
+    def spec_of(l):
+        l = jax.numpy.asarray(l)
+        # carry the leaf's sharding into the artifact (multi-chip export:
+        # the mesh shape + in/out shardings become part of the program)
+        sharding = getattr(l, "sharding", None)
+        if sharding is not None and not isinstance(
+                sharding, jax.sharding.NamedSharding):
+            sharding = None        # single-device default: let export infer
+        return jax.ShapeDtypeStruct(l.shape, l.dtype, sharding=sharding)
+
+    specs = [spec_of(l) for l in leaves]
     checks = ([jexport.DisabledSafetyCheck.custom_call("tpu_custom_call")]
               if allow_tpu_custom_calls else [])
     exp = jexport.export(jax.jit(flat_fn), platforms=platforms,
@@ -110,4 +126,29 @@ def export_session_run(sess, n_steps: int, path: str, platforms=None,
     """
     save_exported(path, lambda sim: sess._run_k(sim, n_steps), sess.sim,
                   platforms=platforms,
+                  allow_tpu_custom_calls=allow_tpu_custom_calls)
+
+
+def export_sharded_run(step_fn, sim, n_steps: int, path: str,
+                       platforms=None,
+                       allow_tpu_custom_calls: bool = False) -> None:
+    """Export ``n_steps`` applications of a sharded-verlet ``step_fn``
+    (from ``parallel.shard_verlet.make_sharded_verlet_step``) at ``sim``'s
+    shapes AND shardings: ShardedDenseSim -> ShardedDenseSim.
+
+    The artifact records the mesh size (``nr_devices``); a worker builds
+    the same-shape mesh, restores the sharded state
+    (``checkpoint.load_sharded``), and calls with its leaves — collectives
+    (ppermute halos, psum'd rebin trigger) are baked into the program, so
+    the multi-chip serving path is retrace-free end to end.
+
+    The steps run under one ``lax.scan`` (same shape as
+    tools/bench_sharded.py's run_k), so the artifact is one multi-device
+    execution per call regardless of ``n_steps``.
+    """
+    def run(s):
+        return jax.lax.scan(lambda c, _: (step_fn(c), None), s, None,
+                            length=n_steps)[0]
+
+    save_exported(path, run, sim, platforms=platforms,
                   allow_tpu_custom_calls=allow_tpu_custom_calls)
