@@ -1,0 +1,223 @@
+"""Multi-chip persistent session: the ``Session`` facade over slabs.
+
+``models/verlet_solver.Session`` is the single-chip production shape —
+state resident on the device, ``run(k)`` in one dispatch, frames straight
+from the dense state.  This module is the same contract over a
+``jax.sharding.Mesh``: one x-slab per device (parallel/shard_verlet.py),
+per-slab on-device raster strips (parallel/shard_render.py), original-order
+extraction via the tracked per-particle identity, resident checkpointing,
+and AOT program export — so scaling from one chip to a mesh is a
+constructor swap, not a rewrite of the driver loop (compare
+examples/sharded_demo.py's hand-rolled loop, which predates this facade).
+
+The reference has no multi-device story at all (single wgpu device,
+reference: src/gpu/buffers.rs); its closest analog is the persistent
+particle SSBO stepped in place.
+
+CPU-mesh note: on a virtual CPU mesh this class synchronizes after every
+dispatch — XLA:CPU collectives deadlock-abort when several multi-device
+executions are in flight on low-core hosts.  On TPU dispatches stay async.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.params import FluidParams, IntegrateConfig
+from ..core.state import FluidState
+from ..ops.binning import FAR
+from . import shard as sh
+from . import shard_render, shard_verlet
+
+
+class ShardedSession:
+    """Persistent multi-chip run over ``spec.n_devices`` spatial slabs.
+
+    ``run(k)`` advances k steps as ONE scanned multi-device execution
+    (collective rebins, ghost-column halos and the psum'd trigger are all
+    inside the program); ``run_frame``/``frame`` assemble a seamless RGB
+    frame from per-slab raster strips; ``state()`` materializes the
+    ORIGINAL-order FluidState on demand; ``save``/``restore`` round-trip
+    the resident representation bitwise; ``export_run`` serializes the
+    step program for retrace-free serving workers (utils/aot.py).
+    """
+
+    def __init__(self, state: FluidState | None, params: FluidParams,
+                 cfg: IntegrateConfig, spec: sh.ShardSpec, mesh=None,
+                 fused: bool = True, interpret: bool | None = None,
+                 stencils=None, recover: bool = True,
+                 spill_cap: int = shard_verlet.SPILL_CAP, _sim=None,
+                 _n: int | None = None):
+        if mesh is None:
+            mesh = sh.make_mesh(spec.n_devices)
+        self.params = params
+        self.cfg = cfg
+        self.spec = spec
+        self.mesh = mesh
+        self.n = state.n if state is not None else int(_n)
+        init_fn, step_fn = shard_verlet.make_sharded_verlet_step(
+            params, cfg, spec, mesh, stencils=stencils, fused=fused,
+            interpret=interpret, n=self.n if recover else None,
+            spill_cap=spill_cap)
+        self._step = step_fn
+        self._interpret = interpret
+        # kwargs needed to rebuild this session from a checkpoint
+        self._build_kw = dict(fused=fused, interpret=interpret,
+                              stencils=stencils, recover=recover,
+                              spill_cap=spill_cap)
+
+        @partial(jax.jit, static_argnums=1)
+        def run_k(sim, k):
+            return jax.lax.scan(lambda s, _: (step_fn(s), None), sim, None,
+                                length=k)[0]
+
+        @jax.jit
+        def kick(sim, cx, cy, ux, uy, imp):
+            # xd holds WORLD coordinates, so the impulse is elementwise on
+            # the sharded dense planes — no collective, no per-slab origin.
+            # Ghost-column copies get kicked too; harmless — they are
+            # refreshed from their owner at the next step's halo exchange.
+            from ..interact.impulse import apply_impulse_arrays
+            vxd, vyd = apply_impulse_arrays(sim.xd, sim.yd, sim.vxd,
+                                            sim.vyd, cx, cy, ux, uy, imp)
+            live = sim.xd < FAR * 0.5
+            return dataclasses.replace(sim,
+                                       vxd=jnp.where(live, vxd, 0.0),
+                                       vyd=jnp.where(live, vyd, 0.0))
+
+        self._run_k = run_k
+        self._kick = kick
+        self._extract = jax.jit(lambda sim: shard_verlet.extract_fluid_state(
+            sim, spec, params, self.n))
+        self._frames: dict = {}      # (px_per_cell, mode) -> jitted fns
+        # XLA:CPU collectives deadlock when several multi-device
+        # executions overlap on low-core hosts; serialize there.
+        self._sync = jax.default_backend() != "tpu"
+        if state is not None:
+            self.sim = init_fn(sh.shard_state(state, spec))
+        else:
+            self.sim = _sim
+        if self._sync:
+            jax.block_until_ready(self.sim.xd)
+
+    # ---- stepping -------------------------------------------------------
+
+    def run(self, n_steps: int) -> None:
+        """Advance n_steps: one compiled multi-device dispatch."""
+        self.sim = self._run_k(self.sim, n_steps)
+        if self._sync:
+            jax.block_until_ready(self.sim.xd)
+
+    def _frame_fns(self, px_per_cell: int, mode: str):
+        key = (px_per_cell, mode)
+        if key not in self._frames:
+            frame_fn = shard_render.make_sharded_frame(
+                self.params, self.spec, self.mesh, px_per_cell=px_per_cell,
+                mode=mode, interpret=self._interpret)
+
+            @partial(jax.jit, static_argnums=1)
+            def run_frame(sim, k):
+                sim = jax.lax.scan(lambda s, _: (self._step(s), None), sim,
+                                   None, length=k)[0]
+                return sim, frame_fn(sim)
+
+            self._frames[key] = (frame_fn, run_frame)
+        return self._frames[key]
+
+    def run_frame(self, substeps: int = 16, px_per_cell: int = 2,
+                  mode: str = "density"):
+        """substeps + per-slab raster strips in ONE dispatch; returns the
+        assembled uint8 [H, W, 3] frame (W spans every device's slab)."""
+        _, run_frame = self._frame_fns(px_per_cell, mode)
+        self.sim, img = run_frame(self.sim, substeps)
+        if self._sync:
+            jax.block_until_ready(img)
+        return img
+
+    def frame(self, px_per_cell: int = 2, mode: str = "density"):
+        """Raster only (no stepping) from the resident state."""
+        frame_fn, _ = self._frame_fns(px_per_cell, mode)
+        img = frame_fn(self.sim)
+        if self._sync:
+            jax.block_until_ready(img)
+        return img
+
+    def kick(self, x: float, y: float, dir_x: float, dir_y: float,
+             impulse: float | None = None) -> None:
+        """Pointer-drag impulse (reference: examples/sph2d_cpu_demo.rs
+        :135-140 semantics), applied across every slab in place."""
+        from ..interact.impulse import IMPULSE
+        self.sim = self._kick(self.sim, x, y, dir_x, dir_y,
+                              IMPULSE if impulse is None else impulse)
+        if self._sync:
+            jax.block_until_ready(self.sim.xd)
+
+    # ---- extraction / persistence --------------------------------------
+
+    def state(self) -> FluidState:
+        """ORIGINAL-order per-particle FluidState (off the hot path)."""
+        return self._extract(self.sim)
+
+    def save(self, path: str) -> None:
+        """Snapshot the resident representation (counters included)."""
+        from ..utils import checkpoint
+        checkpoint.save_sharded(path, self.sim, self.spec, self.params,
+                                self.cfg, self.n)
+
+    @classmethod
+    def restore(cls, path: str, mesh=None, **build_kw) -> "ShardedSession":
+        """Rebuild a session from ``save``; continues bitwise-identically
+        (tests/test_sharded_session.py).  ``build_kw`` forwards
+        fused/interpret/stencils/recover/spill_cap to the constructor."""
+        from ..utils import checkpoint
+        sim, spec, params, cfg, n = checkpoint.load_sharded(path)
+        return cls(None, params, cfg, spec, mesh=mesh, _sim=sim, _n=n,
+                   **build_kw)
+
+    def export_run(self, n_steps: int, path: str, platforms=None,
+                   allow_tpu_custom_calls: bool = False) -> None:
+        """AOT artifact of ``run(n_steps)``: mesh shape, halos and the
+        collective rebin bake into the program (utils/aot.py)."""
+        from ..utils import aot
+        aot.export_sharded_run(self._step, self.sim, n_steps, path,
+                               platforms=platforms,
+                               allow_tpu_custom_calls=allow_tpu_custom_calls)
+
+    # ---- diagnostics ----------------------------------------------------
+
+    @property
+    def alive(self) -> list[int]:
+        """Live particles per device."""
+        return [int(c) for c in self.sim.alive]
+
+    @property
+    def overflow(self) -> int:
+        return int(jnp.sum(self.sim.overflow))
+
+    @property
+    def dropped(self) -> int:
+        return int(jnp.sum(self.sim.dropped))
+
+    @property
+    def lost(self) -> int:
+        return int(jnp.sum(self.sim.lost))
+
+    @property
+    def suspended(self) -> int:
+        return int(self.sim.suspended)
+
+    @property
+    def readmitted(self) -> int:
+        return int(jnp.sum(self.sim.readmitted))
+
+    @property
+    def rebin_count(self) -> int:
+        return int(jnp.max(self.sim.rebin_count))
+
+    @property
+    def step(self) -> int:
+        return int(self.sim.step)

@@ -56,53 +56,45 @@ def main() -> None:
     import numpy as np
 
     import bevy_gpu_fluid_tpu as bgf
-    from bevy_gpu_fluid_tpu.parallel import shard, shard_render, shard_verlet
-    from bevy_gpu_fluid_tpu.utils import checkpoint
+    from bevy_gpu_fluid_tpu.parallel import shard
+    from bevy_gpu_fluid_tpu.parallel.sharded_session import ShardedSession
 
     params = bgf.FluidParams.demo()
     cfg = bgf.IntegrateConfig.create(x_min=-1.0, x_max=2.5, bounce=-0.5)
     spec = shard.ShardSpec.build(h=0.045 * 1.5, x_min=-1.0, x_max=2.5,
                                  y_max=3.0, n_devices=args.devices,
                                  capacity=4096)
-    mesh = shard.make_mesh(args.devices)
-    init_fn, step_fn = shard_verlet.make_sharded_verlet_step(
-        params, cfg, spec, mesh, fused=True,
-        interpret=True if args.cpu else None,
-        n=args.n_cols * args.n_rows)   # overflow recovery armed
-    frame_fn = shard_render.make_sharded_frame(
-        params, spec, mesh, interpret=True if args.cpu else None)
 
     # wide shallow block spanning every slab, dropped under gravity
     state = bgf.init_grid(args.n_cols, args.n_rows, 0.04)
     state = state.replace(x=state.x - 0.98, y=state.y + 0.5)
-    sim = init_fn(shard.shard_state(state, spec))
+    sess = ShardedSession(state, params, cfg, spec,
+                          interpret=True if args.cpu else None)
 
     os.makedirs(args.out, exist_ok=True)
     for f in range(args.frames):
-        for _ in range(args.substeps):
-            sim = step_fn(sim)
-            jax.block_until_ready(sim.xd)   # 1-core CPU-mesh safety
-        img = np.asarray(frame_fn(sim))
+        img = np.asarray(sess.run_frame(substeps=args.substeps))
         h, w, _ = img.shape
         with open(f"{args.out}/frame_{f:04d}.ppm", "wb") as fh:
             fh.write(f"P6\n{w} {h}\n255\n".encode())
             fh.write(img.tobytes())
-        print(f"frame {f}: {w}x{h}, per-device alive {sim.alive.tolist()}, "
-              f"rebins {int(sim.rebin_count.max())}, "
-              f"overflow {int(sim.overflow.max())}", flush=True)
+        print(f"frame {f}: {w}x{h}, per-device alive {sess.alive}, "
+              f"rebins {sess.rebin_count}, overflow {sess.overflow}",
+              flush=True)
 
-    assert int(jnp.sum(sim.alive)) == state.n, "particles not conserved"
-    assert int(sim.dropped.sum()) == 0
+    assert sum(sess.alive) == state.n, "particles not conserved"
+    assert sess.dropped == 0
 
     # resident checkpoint round trip + ORIGINAL-order extraction via the
     # tracked per-particle identity
     ckpt = f"{args.out}/sharded_ckpt"
-    checkpoint.save_sharded(ckpt, sim, spec, params, cfg, state.n)
-    sim2, spec2, params2, _, n2 = checkpoint.load_sharded(ckpt)
-    fs = shard_verlet.extract_fluid_state(sim2, spec2, params2, n2)
+    sess.save(ckpt)
+    sess2 = ShardedSession.restore(ckpt,
+                                   interpret=True if args.cpu else None)
+    fs = sess2.state()
     assert bool(jnp.isfinite(fs.x).all())
     print(f"done: {args.frames} frames in {args.out}, checkpoint verified, "
-          f"{n2} particles in original order")
+          f"{sess2.n} particles in original order")
 
 
 if __name__ == "__main__":

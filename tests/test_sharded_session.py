@@ -1,0 +1,96 @@
+"""ShardedSession facade: the single-chip Session contract over a mesh
+(run in one dispatch, frames from resident state, original-order
+extraction, bitwise resident checkpoint resume, cross-slab impulse)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bevy_gpu_fluid_tpu import FluidParams, IntegrateConfig, init_grid
+from bevy_gpu_fluid_tpu.parallel import shard
+from bevy_gpu_fluid_tpu.parallel.sharded_session import ShardedSession
+
+PARAMS = FluidParams.demo()
+CFG = IntegrateConfig.create(x_min=-1.0, x_max=2.5)
+
+
+@pytest.fixture(scope="module")
+def sess2():
+    """D=2 session on a wide block spanning both slabs, stepped enough to
+    fire at least one collective rebin."""
+    spec = shard.ShardSpec.build(h=0.045 * 1.5, x_min=-1.0, x_max=2.5,
+                                 y_max=3.0, n_devices=2, capacity=1024)
+    # block x in [0.3, 1.26]: straddles the D=2 slab boundary at 0.75
+    state = init_grid(24, 6, 0.04)
+    state = state.replace(x=state.x + 0.3, vx=jnp.full((state.n,), 3.0))
+    s = ShardedSession(state, PARAMS, CFG, spec)
+    s.run(12)
+    return s, state
+
+
+def test_run_conserves_and_rebins(sess2):
+    s, state = sess2
+    assert sum(s.alive) == state.n
+    assert s.overflow == 0 and s.dropped == 0 and s.lost == 0
+    assert s.rebin_count >= 1
+    assert s.step == 12
+
+
+def test_state_is_original_order(sess2):
+    s, state = sess2
+    out = s.state()
+    assert bool(jnp.isfinite(out.x).all())
+    # identity: every original index present exactly once across slabs
+    ids = np.sort(np.asarray(s.sim.idx_d).reshape(-1))
+    assert (ids[ids >= 0] == np.arange(state.n)).all()
+
+
+def test_save_restore_continues_bitwise(sess2, tmp_path):
+    s, _ = sess2
+    path = os.fspath(tmp_path / "shsess.ckpt")
+    s.save(path)
+    r = ShardedSession.restore(path)
+    assert r.n == s.n and r.step == s.step
+    # both advance the same program from the same snapshot: bitwise
+    r.run(6)
+    want = s._run_k(s.sim, 6)
+    jax.block_until_ready(want)
+    for a, b in zip(jax.tree_util.tree_leaves(r.sim),
+                    jax.tree_util.tree_leaves(want)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_frame_spans_all_slabs(sess2):
+    s, _ = sess2
+    img = s.frame()
+    assert img.dtype == jnp.uint8 and img.ndim == 3 and img.shape[2] == 3
+    W = s.spec.n_devices * s.spec.nx_local * 2     # px_per_cell=2
+    assert img.shape[1] == W
+    # particles span both slabs -> both halves of the frame have wet pixels
+    left = np.asarray(img[:, :W // 2]).sum()
+    right = np.asarray(img[:, W // 2:]).sum()
+    assert left > 0 and right > 0
+
+    step0 = s.step
+    img2 = s.run_frame(substeps=2)
+    assert img2.shape == img.shape
+    assert s.step == step0 + 2
+
+
+def test_kick_hits_only_within_radius(sess2):
+    s, _ = sess2
+    before = s.state()
+    # kick near the slab boundary so both devices' particles are in range
+    cx = float(s.spec.global_x0 + s.spec.slab_width)
+    cy = float(jnp.median(before.y[jnp.isfinite(before.y)]))
+    s.kick(cx, cy, 0.0, 1.0)
+    after = s.state()
+    d2 = (before.x - cx) ** 2 + (before.y - cy) ** 2
+    changed = np.asarray(jnp.abs(after.vy - before.vy) > 1e-9)
+    inside = np.asarray(d2 < 0.04)
+    assert changed[inside].all(), "in-range particles must be kicked"
+    assert not changed[~inside].any(), "out-of-range particles must not"
+    assert inside.sum() > 0
