@@ -178,6 +178,37 @@ class ShardedSession:
         return cls(None, params, cfg, spec, mesh=mesh, _sim=sim, _n=n,
                    **build_kw)
 
+    def validate(self, rel_tol: float | None = None,
+                 acc_abs_tol: float | None = None,
+                 raise_on_fail: bool = True):
+        """In-engine runtime validation for the multi-chip run: extract in
+        original order, drop non-resident particles (spilled/dropped ones
+        surface at FAR), and run the full rho/p/acc kernels-vs-golden
+        check (utils/validator.validate_accelerated — the reference's
+        readback_and_compare, src/gpu/buffers.rs:554-695) on a
+        reconstructed GLOBAL grid.  O(N^2) golden recompute: meant for
+        moderate N or sampled calls, like the reference's 60-frame gate."""
+        import numpy as np
+
+        from ..utils import validator
+
+        fs = self.state()
+        live = np.asarray(fs.x) < FAR * 0.5
+        fs = FluidState(**{k: jnp.asarray(np.asarray(getattr(fs, k))[live])
+                           for k in ("x", "y", "vx", "vy", "ax", "ay",
+                                     "rho", "p")},
+                        step=fs.step)
+        g = dataclasses.replace(self.spec.local_grid,
+                                nx=self.spec.nx_local * self.spec.n_devices)
+        kw = {}
+        if rel_tol is not None:
+            kw["rel_tol"] = rel_tol
+        if acc_abs_tol is not None:
+            kw["acc_abs_tol"] = acc_abs_tol
+        return validator.validate_accelerated(fs, self.params, g,
+                                              raise_on_fail=raise_on_fail,
+                                              **kw)
+
     def export_run(self, n_steps: int, path: str, platforms=None,
                    allow_tpu_custom_calls: bool = False) -> None:
         """AOT artifact of ``run(n_steps)``: mesh shape, halos and the

@@ -80,6 +80,15 @@ def test_frame_spans_all_slabs(sess2):
     assert s.step == step0 + 2
 
 
+def test_runtime_validator_passes(sess2):
+    """The reference's in-engine rho/p/acc gate (buffers.rs:564-567) holds
+    for the multi-chip run at its enforced tolerances."""
+    s, _ = sess2
+    report = s.validate()          # raises on tolerance failure
+    assert report.rho_max_rel <= 0.01
+    assert report.acc_max_abs <= 0.5 or report.acc_max_rel <= 0.01
+
+
 def test_kick_hits_only_within_radius(sess2):
     s, _ = sess2
     before = s.state()
