@@ -144,6 +144,53 @@ class _SessionSim:
                                     else "density")
 
 
+class _ShardedSim:
+    """Multi-chip adapter: the same app surface over a ShardedSession —
+    per-slab stepping + raster strips, cross-slab drag impulses.  The
+    browser loop is unchanged; only the engine under it scales out."""
+
+    def __init__(self, n: int, devices: int, px_per_cell: int = 2):
+        import bevy_gpu_fluid_tpu as bgf
+        from bevy_gpu_fluid_tpu.parallel import shard
+        from bevy_gpu_fluid_tpu.parallel.sharded_session import ShardedSession
+
+        side = int(math.isqrt(n))
+        state = bgf.init_grid(side, side, 0.04)
+        extent = side * 0.04
+        self.cfg = bgf.IntegrateConfig.create(x_min=-1.0, x_max=extent + 1.0)
+        sspec = shard.ShardSpec.build(h=0.045 * 1.5, x_min=-1.0,
+                                      x_max=extent + 1.0,
+                                      y_max=extent * 1.1 + 1.0,
+                                      n_devices=devices,
+                                      capacity=max(1024, state.n))
+        self._sess = ShardedSession(state, bgf.FluidParams.demo(), self.cfg,
+                                    sspec)
+        self._ppc = px_per_cell
+        P, g = px_per_cell, sspec.local_grid
+        self.spec = RasterSpec(x0=sspec.global_x0, y0=g.origin_y,
+                               scale=P / g.cell_size, height=g.ny * P,
+                               width=devices * sspec.nx_local * P)
+
+    @property
+    def state(self):
+        return SimpleNamespace(n=self._sess.n, step=self._sess.sim.step)
+
+    def particle_state(self):
+        return self._sess.state()
+
+    @property
+    def overflow(self):
+        return self._sess.overflow
+
+    def kick(self, x, y, ux, uy):
+        self._sess.kick(x, y, ux, uy)
+
+    def run_frame(self, substeps, mode):
+        return self._sess.run_frame(substeps, px_per_cell=self._ppc,
+                                    mode="const" if mode == "const"
+                                    else "density")
+
+
 class InteractiveApp:
     """Sim loop + frame buffer + input queue, UI-agnostic.
 
@@ -153,10 +200,12 @@ class InteractiveApp:
 
     def __init__(self, n: int = 5041, substeps: int = 16,
                  raster_width: int = 512, solver: str = "verlet",
-                 session: bool = False):
+                 session: bool = False, sharded: int = 0):
         from bevy_gpu_fluid_tpu import Simulation
 
-        if session:
+        if sharded:
+            self.sim = _ShardedSim(n, devices=sharded)
+        elif session:
             self.sim = _SessionSim(n)
         else:
             self.sim = Simulation.dam_break(n=n, solver=solver,
@@ -326,6 +375,9 @@ def main() -> int:
                     help="Session-backed large-N mode: resident dense "
                          "state + scalable field raster + dense impulses "
                          "(use for 100k-16M particles)")
+    ap.add_argument("--sharded", type=int, default=0, metavar="D",
+                    help="multi-chip mode: shard the scene over D devices "
+                         "(ShardedSession; with --cpu, D virtual devices)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (headless hosts)")
     ap.add_argument("--selfdrive", type=int, default=0, metavar="FRAMES",
@@ -333,14 +385,19 @@ def main() -> int:
     args = ap.parse_args()
 
     if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
         import os
+        if args.sharded:
+            # must land before any backend initialization
+            os.environ["XLA_FLAGS"] = (
+                os.environ.get("XLA_FLAGS", "")
+                + f" --xla_force_host_platform_device_count={args.sharded}")
+        jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_compilation_cache_dir",
                           os.path.expanduser("~/.jax_cache_cpu"))
 
     app = InteractiveApp(n=args.n, substeps=args.substeps,
                          raster_width=args.width, solver=args.solver,
-                         session=args.session)
+                         session=args.session, sharded=args.sharded)
     if args.selfdrive:
         app._run_one_frame()
         return selfdrive(app, args.selfdrive)

@@ -83,3 +83,15 @@ def test_session_mode_selfdrive():
     a = InteractiveApp(n=256, substeps=2, session=True)
     a._run_one_frame()
     assert selfdrive(a, 8) == 0
+
+
+def test_sharded_mode_selfdrive():
+    """The multi-chip mode (ShardedSession: per-slab stepping + raster
+    strips, cross-slab impulses) drives the same loop end-to-end on a
+    2-device mesh."""
+    sys.path.insert(0, __file__.rsplit("/", 2)[0] + "/examples")
+    from interactive import InteractiveApp, selfdrive
+    a = InteractiveApp(n=256, substeps=2, sharded=2)
+    a._run_one_frame()
+    assert a.sim.overflow == 0
+    assert selfdrive(a, 8) == 0
