@@ -80,13 +80,19 @@ _EPS = 1e-6  # grad/laplacian zero-distance cutoff (sph_density.wgsl:1)
 _DBUF_MIN_BLOCKS = 20
 
 # Below this many row blocks the verlet step runs the MONO kernel (density
-# + forces + integrate in ONE launch, halo-rho recomputed in-VMEM): at
-# small grids the second kernel's fixed launch cost outweighs the +2/tb
-# density recompute; large grids keep the two-kernel + double-buffered-DMA
-# path (the pair loops are VPU-bound there and the mono kernel cannot
-# double-buffer its wider windows).  Threshold set at the same scale the
-# DBUF gate flips; hardware A/B below.
-_MONO_MAX_BLOCKS = 20
+# + forces + integrate in ONE launch, halo-rho recomputed in-VMEM).
+# Hardware A/B (tools/bench_mono_ab.py, v5e, differential window, best-of-3;
+# mono vs two-kernel ms/step): nb=11 0.053/0.054, nb=15 0.075/0.070,
+# nb=19 0.193/0.192, nb=23 0.234/0.231, nb=28 0.281/0.268, nb=36
+# 0.526/0.508, nb=38 0.557/0.544 — the two-kernel + double-buffered-DMA
+# step ties or WINS everywhere measured (up to 6%); mono's only edge
+# (nb=11, +0.9%) is inside the rig's ±3-4% noise band.  Inside a scan the
+# second launch's fixed cost is already small, so the +2/tb halo-density
+# recompute never pays past ~11 blocks.  Mono is kept for the smallest
+# grids, where it ties under scan and deletes a dispatch for eager
+# per-frame callers (interactive scenes), and as the ulp-pinned reference
+# for the fused pipeline (tests/test_mono.py).
+_MONO_MAX_BLOCKS = 12
 
 
 def _interpret_default() -> bool:
