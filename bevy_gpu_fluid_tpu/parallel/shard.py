@@ -190,18 +190,33 @@ def _fill_ghost_cols(fd: jax.Array, nxl: int, D: int,
     """Receive both neighbours' real edge columns into my ghost columns
     (cols 0 and nxl+1).  Devices with no neighbour on a side get
     ``edge_fill`` (FAR for positions: outermost walls have no fluid beyond)."""
+    return _fill_ghost_cols_multi((fd,), nxl, D, (edge_fill,))[0]
+
+
+def _fill_ghost_cols_multi(fields, nxl: int, D: int, fills):
+    """``_fill_ghost_cols`` for several planes with ONE ppermute pair:
+    only the edge COLUMNS are stacked ([F, ny_pad, cap, 1] — a few hundred
+    KB), so F planes cost the same two collective launches as one.  Bitwise
+    identical to per-plane exchanges (same bytes move, same updates).
+    Returns the fields as a list, same order."""
+    fields = list(fields)
     if D == 1:
-        return fd
-    my_right = jax.lax.slice_in_dim(fd, nxl, nxl + 1, axis=2)
-    my_left = jax.lax.slice_in_dim(fd, 1, 2, axis=2)
+        return fields
+    my_right = jnp.stack(
+        [jax.lax.slice_in_dim(f, nxl, nxl + 1, axis=2) for f in fields])
+    my_left = jnp.stack(
+        [jax.lax.slice_in_dim(f, 1, 2, axis=2) for f in fields])
     from_left = jax.lax.ppermute(my_right, AXIS, _fwd_perm(D))
     from_right = jax.lax.ppermute(my_left, AXIS, _bwd_perm(D))
     d = jax.lax.axis_index(AXIS)
-    from_left = jnp.where(d == 0, edge_fill, from_left)
-    from_right = jnp.where(d == D - 1, edge_fill, from_right)
-    fd = jax.lax.dynamic_update_slice_in_dim(fd, from_left, 0, axis=2)
-    fd = jax.lax.dynamic_update_slice_in_dim(fd, from_right, nxl + 1, axis=2)
-    return fd
+    fillv = jnp.asarray(fills, from_left.dtype).reshape(-1, 1, 1, 1)
+    from_left = jnp.where(d == 0, fillv, from_left)
+    from_right = jnp.where(d == D - 1, fillv, from_right)
+    return [
+        jax.lax.dynamic_update_slice_in_dim(
+            jax.lax.dynamic_update_slice_in_dim(f, from_left[i], 0, axis=2),
+            from_right[i], nxl + 1, axis=2)
+        for i, f in enumerate(fields)]
 
 
 def _pack_migrants(fields, mask, E):
@@ -244,17 +259,15 @@ def make_sharded_step(params: FluidParams, cfg: IntegrateConfig,
         yd = to_dense(b, yb, fill=FAR)
 
         # halo 1: neighbour edge positions into my ghost columns
-        xd = _fill_ghost_cols(xd, nxl, D, FAR)
-        yd = _fill_ghost_cols(yd, nxl, D, FAR)
+        xd, yd = _fill_ghost_cols_multi((xd, yd), nxl, D, (FAR, FAR))
 
         rho_d = density_fn(xd, yd, params)
 
         vxd = to_dense(b, vxb, fill=0.0)
         vyd = to_dense(b, vyb, fill=0.0)
         # halo 2: neighbour edge velocity + density (positions already in)
-        vxd = _fill_ghost_cols(vxd, nxl, D, 0.0)
-        vyd = _fill_ghost_cols(vyd, nxl, D, 0.0)
-        rho_d = _fill_ghost_cols(rho_d, nxl, D, 0.0)
+        vxd, vyd, rho_d = _fill_ghost_cols_multi(
+            (vxd, vyd, rho_d), nxl, D, (0.0, 0.0, 0.0))
 
         ax_d, ay_d = forces_fn(xd, yd, vxd, vyd, rho_d, params)
 

@@ -48,8 +48,7 @@ def make_sharded_frame(params: FluidParams, spec: sh.ShardSpec, mesh: Mesh,
         xd = xd.reshape(xd.shape[1:])
         yd = yd.reshape(yd.shape[1:])
         # refresh ghost columns: slab-edge pixels need neighbour particles
-        xd = sh._fill_ghost_cols(xd, nxl, D, FAR)
-        yd = sh._fill_ghost_cols(yd, nxl, D, FAR)
+        xd, yd = sh._fill_ghost_cols_multi((xd, yd), nxl, D, (FAR, FAR))
         d = jax.lax.axis_index(AXIS)
         origin = (spec.global_x0 + d.astype(jnp.float32) * spec.slab_width,
                   g.origin_y)

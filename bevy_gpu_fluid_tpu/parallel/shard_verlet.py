@@ -9,8 +9,9 @@ Combines the two fastest designs in the framework:
 
 Key observation: the two compose cleanly.  Between rebins, only the VALUES in
 the neighbour's edge column change, not the slot structure — so per-step ICI
-traffic is five ghost-column exchanges of [ny_pad, cap, 1] (a few hundred KB)
-and a psum'd rebin trigger.
+traffic is two ghost-column exchanges (one stacked [4, ny_pad, cap, 1]
+ppermute pair for x/y/vx/vy before density, one for rho after — a few
+hundred KB total) and a psum'd rebin trigger.
 
 The rebin itself is the same sort-free LOCAL reslot as the single-chip
 flagship (ops/reslot.py), extended with ghost-column capture for migration:
@@ -471,33 +472,37 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
 
         def do_rebin(op):
             (xd, yd, vxd, vyd, idx_d, occ, age, overflow, lost, dropped,
-             rebins, sx, sy, svx, svy, sidx, readmitted) = op
+             rebins, sx, sy, svx, svy, sidx, readmitted,
+             ref_xd, ref_yd, alive) = op
             (xd, yd, vxd, vyd, idx_d, overflow, lost, dropped,
              sx, sy, svx, svy, sidx, readmitted) = \
                 collective_rebin(xd, yd, vxd, vyd, idx_d, overflow, lost,
                                  dropped, sx, sy, svx, svy, sidx,
                                  readmitted)
+            # ref planes + alive refresh only here (the no-rebin step pays
+            # nothing — previously these were full-array where-selects and
+            # a live count on EVERY step)
             return (xd, yd, vxd, vyd, idx_d, occ_of(xd), jnp.int32(0),
                     overflow, lost, dropped, rebins + 1,
-                    sx, sy, svx, svy, sidx, readmitted)
+                    sx, sy, svx, svy, sidx, readmitted,
+                    xd, yd, count_live(real(xd)))
 
         def no_rebin(op):
             return op
 
         (xd, yd, vxd, vyd, idx_d, occ, age, overflow, lost, dropped,
-         rebins, sx, sy, svx, svy, sidx, readmitted) = jax.lax.cond(
+         rebins, sx, sy, svx, svy, sidx, readmitted,
+         ref_xd, ref_yd, alive) = jax.lax.cond(
             need, do_rebin, no_rebin,
             (xd, yd, vxd, vyd, idx_d, occ, age, overflow, lost, dropped,
-             rebins, sx, sy, svx, svy, sidx, readmitted))
-        ref_xd = jnp.where(need, xd, ref_xd)
-        ref_yd = jnp.where(need, yd, ref_yd)
-        alive = jnp.where(need, count_live(real(xd)), alive)
+             rebins, sx, sy, svx, svy, sidx, readmitted,
+             ref_xd, ref_yd, alive))
 
         # per-step halo: current neighbour edge values into ghost columns
-        xd = sh._fill_ghost_cols(xd, nxl, D, FAR)
-        yd = sh._fill_ghost_cols(yd, nxl, D, FAR)
-        vxd = sh._fill_ghost_cols(vxd, nxl, D, 0.0)
-        vyd = sh._fill_ghost_cols(vyd, nxl, D, 0.0)
+        # (ONE ppermute pair for all four planes — per-step ICI is now two
+        # collective launches: this one + the post-density rho exchange)
+        xd, yd, vxd, vyd = sh._fill_ghost_cols_multi(
+            (xd, yd, vxd, vyd), nxl, D, (FAR, FAR, 0.0, 0.0))
 
         rho_d = density_fn(xd, yd, params, occ=occ)
         rho_d = sh._fill_ghost_cols(rho_d, nxl, D, 0.0)
