@@ -36,7 +36,8 @@ from ..core.state import FluidState
 from ..ops import integrator
 from ..ops.binning import (FAR, bin_particles, to_dense, from_dense,
                            from_dense_multi)
-from ..ops.kernels import w_poly6, grad_spiky, laplacian_visc, eos_pressure
+from ..ops.kernels import (w_poly6, grad_spiky, laplacian_visc,
+                           eos_pressure, self_density)
 
 OFFSETS = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
 
@@ -154,8 +155,7 @@ def compute_rho_p_acc(state: FluidState, params: FluidParams,
     ax_d, ay_d = forces_fn(xd, yd, vxd, vyd, rho_d, params)
 
     # Overflowed particles fall back to self-density / gravity-only.
-    h2 = params.h * params.h
-    self_rho = params.m * (4.0 / (jnp.pi * h2 ** 4)) * h2 ** 3  # m * W(0)
+    self_rho = self_density(params)  # m * W(0)
     rho, ax, ay = from_dense_multi(binned, [rho_d, ax_d, ay_d],
                                    [self_rho, 0.0, 0.0])
     p = eos_pressure(rho, params)

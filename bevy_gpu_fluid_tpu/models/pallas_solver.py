@@ -352,7 +352,7 @@ def _forces_integrate_kernel(pr, occ, x_hbm, y_hbm, vx_hbm, vy_hbm, rho_hbm,
     vxs = vxs.at[slot]
     vys = vys.at[slot]
     ps = ps.at[slot]
-    irs = irs.at[slot]
+    # irs is single-slot (compute-only: fully rewritten below, never DMA'd)
 
     h = pr[0, 0]
     m = pr[0, 1]
@@ -771,8 +771,11 @@ def forces_integrate_pallas(xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd,
     dshape = jax.ShapeDtypeStruct((nb, 8, 128), jnp.float32)
     block = pl.BlockSpec((tb, grid.cap, grid.nx_pad), lambda r: (r + 1, 0, 0))
     dblock = pl.BlockSpec((1, 8, 128), lambda r: (r, 0, 0))
-    # double-buffered: two slots per slab (see kernel docstring)
+    # double-buffered: two slots per DMA'd slab (see kernel docstring);
+    # irs is compute-only (filled in-kernel, never async-copied) so one
+    # slot suffices — a (tb+2)-row slab of VMEM back in the budget
     slab2 = pltpu.VMEM((2, tb + 2, grid.cap, grid.nx_pad), jnp.float32)
+    slab1 = pltpu.VMEM((tb + 2, grid.cap, grid.nx_pad), jnp.float32)
     ref2 = pltpu.VMEM((2, tb, grid.cap, grid.nx_pad), jnp.float32)
     ox, oy, ovx, ovy, disp = pl.pallas_call(
         kernel,
@@ -784,7 +787,7 @@ def forces_integrate_pallas(xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd,
         + [pl.BlockSpec(memory_space=pl.ANY)] * 7,
         out_specs=(block, block, block, block, dblock),
         out_shape=(out, out, out, out, dshape),
-        scratch_shapes=[slab2] * 6 + [ref2] * 2
+        scratch_shapes=[slab2] * 5 + [slab1] + [ref2] * 2
         + [pltpu.SemaphoreType.DMA((2, 7))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,

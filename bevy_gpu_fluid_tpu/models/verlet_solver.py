@@ -71,7 +71,7 @@ import jax.numpy as jnp
 from ..core.params import FluidParams, IntegrateConfig, GridSpec2D, GRAVITY_Y
 from ..core.state import FluidState
 from ..ops.binning import FAR, bin_particles, to_dense
-from ..ops.kernels import eos_pressure
+from ..ops.kernels import eos_pressure, self_density
 from ..ops import reslot as reslot_ops
 from . import grid_solver, pallas_solver
 
@@ -158,18 +158,25 @@ def _bin_now(x, y, vx, vy, grid: GridSpec2D, alive=None):
 
 
 def init_dense(state: FluidState, grid: GridSpec2D,
-               spill_cap: int = SPILL_CAP) -> DenseSim:
+               spill_cap: int = SPILL_CAP,
+               collect_spill: bool = True) -> DenseSim:
     """Bin a particle state into the dense representation (sort-based — runs
     once per session; steady-state rebins use the local reslot kernel).
 
     Particles the init sort drops to cell capacity (rank >= cap) are
     collected into the spill buffer so later rebins can re-admit them once
-    their cell has room (see module docstring, recovery semantics)."""
+    their cell has room (see module docstring, recovery semantics).  Pass
+    ``collect_spill=False`` when stepping with recovery OFF (``make_step``'s
+    default ``n=None``): with nothing draining the buffer, a collected drop
+    would surface in every extraction as a frozen phantom forever, instead
+    of the documented counted-loss/FAR contract."""
     b, xd, yd, vxd, vyd = _bin_now(state.x, state.y, state.vx, state.vy, grid)
     idx = jnp.arange(state.n, dtype=jnp.int32)
     idx_d = to_dense(b, idx, fill=-1)
     n = state.n
-    dpos = jnp.nonzero(b.rank >= grid.cap, size=spill_cap, fill_value=n)[0]
+    over = b.rank >= grid.cap if collect_spill \
+        else jnp.zeros_like(b.rank, dtype=bool)
+    dpos = jnp.nonzero(over, size=spill_cap, fill_value=n)[0]
     dv = dpos < n
     ds = jnp.minimum(dpos, n - 1)
     return DenseSim(xd=xd, yd=yd, vxd=vxd, vyd=vyd,
@@ -205,8 +212,7 @@ def extract_fields(sim: DenseSim, grid: GridSpec2D, params: FluidParams,
     vals = jnp.stack([real(sim.xd), real(sim.yd), real(sim.vxd),
                       real(sim.vyd), real(sim.rho_d)], axis=-1)
     safe = jnp.where(idx >= 0, idx, n + (1 << 20))
-    h2 = params.h * params.h
-    self_rho = params.m * (4.0 / (jnp.pi * h2 ** 4)) * h2 ** 3
+    self_rho = self_density(params)
     init = jnp.broadcast_to(
         jnp.stack([jnp.float32(FAR), jnp.float32(FAR), jnp.float32(0.0),
                    jnp.float32(0.0), self_rho]), (n, 5))

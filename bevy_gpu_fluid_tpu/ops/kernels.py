@@ -55,3 +55,13 @@ def eos_pressure(rho, params):
     """Tait-like clamped linear EOS: p = k * max(rho - rho_0, 0)
     (reference: src/cpu/sph2d.rs:139, assets/shaders/sph_density.wgsl:173)."""
     return params.k * jnp.maximum(rho - params.rho_0, 0.0)
+
+
+def self_density(params):
+    """m * W_poly6(0): the density an isolated particle measures (its own
+    contribution — the reference seeds sums with it,
+    src/cpu/sph2d.rs:118).  Used wherever a particle with no computed
+    neighbourhood (overflowed, suspended, extracted-while-dead) needs a
+    physically-sane rho."""
+    h2 = params.h * params.h
+    return params.m * (4.0 / (jnp.pi * h2 ** 4)) * h2 ** 3

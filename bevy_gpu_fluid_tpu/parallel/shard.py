@@ -39,7 +39,7 @@ from ..core.params import FluidParams, IntegrateConfig, GridSpec2D, GRAVITY_Y
 from ..core.state import FluidState
 from ..ops import integrator
 from ..ops.binning import (FAR, bin_particles, to_dense, from_dense_multi)
-from ..ops.kernels import eos_pressure
+from ..ops.kernels import eos_pressure, self_density
 from ..models import grid_solver
 
 AXIS = "x"
@@ -271,8 +271,7 @@ def make_sharded_step(params: FluidParams, cfg: IntegrateConfig,
 
         ax_d, ay_d = forces_fn(xd, yd, vxd, vyd, rho_d, params)
 
-        h2 = params.h * params.h
-        self_rho = params.m * (4.0 / (jnp.pi * h2 ** 4)) * h2 ** 3
+        self_rho = self_density(params)
         rho_g, ax_g, ay_g = from_dense_multi(
             b, [rho_d, ax_d, ay_d], [self_rho, 0.0, 0.0])
         rho = jnp.where(alive, rho_g, 0.0)

@@ -66,7 +66,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..core.params import FluidParams, IntegrateConfig, GRAVITY_Y
 from ..core.state import FluidState
 from ..ops.binning import FAR, bin_particles, to_dense
-from ..ops.kernels import eos_pressure
+from ..ops.kernels import eos_pressure, self_density
 from ..ops import reslot as reslot_ops
 from ..models import grid_solver
 from . import shard as sh
@@ -595,8 +595,7 @@ def extract_state(sim: ShardedDenseSim, spec: sh.ShardSpec,
     positions with analytic self-density."""
     g = spec.local_grid
     M = spec.capacity
-    h2 = params.h * params.h
-    self_rho = params.m * (4.0 / (jnp.pi * h2 ** 4)) * h2 ** 3
+    self_rho = self_density(params)
 
     def per_device(xd, yd, vxd, vyd, rho_d, idx_d, sx, sy, svx, svy, sidx):
         def real(a):
@@ -648,8 +647,7 @@ def extract_fluid_state(sim: ShardedDenseSim, spec: sh.ShardSpec,
     vals = jnp.stack([real(sim.xd), real(sim.yd), real(sim.vxd),
                       real(sim.vyd), real(sim.rho_d)], axis=-1)
     safe = jnp.where(idx >= 0, idx, n + (1 << 20))
-    h2 = params.h * params.h
-    self_rho = params.m * (4.0 / (jnp.pi * h2 ** 4)) * h2 ** 3
+    self_rho = self_density(params)
     init = jnp.broadcast_to(
         jnp.stack([jnp.float32(FAR), jnp.float32(FAR), jnp.float32(0.0),
                    jnp.float32(0.0), self_rho]), (n, 5))

@@ -111,8 +111,10 @@ def load_dense(path: str):
     """Returns (DenseSim, GridSpec2D, FluidParams, IntegrateConfig, n)."""
     from ..models.verlet_solver import DenseSim, SPILL_CAP
     from ..ops.binning import FAR
+    from ..ops import reslot as reslot_ops
     z = np.load(_norm(path))
     kw = _group(z, "sim.")
+    grid = _grid_from(z, "grid.")
     if "sidx" not in kw:       # pre-recovery snapshot: empty spill buffer
         kw.update(sx=jnp.full((SPILL_CAP,), FAR, jnp.float32),
                   sy=jnp.full((SPILL_CAP,), FAR, jnp.float32),
@@ -120,8 +122,15 @@ def load_dense(path: str):
                   svy=jnp.zeros((SPILL_CAP,), jnp.float32),
                   sidx=jnp.full((SPILL_CAP,), -1, jnp.int32),
                   readmitted=jnp.int32(0))
+    if "occ" not in kw:        # pre-cached-bounds snapshot: recompute both
+        # (exact, not conservative: occ is a pure function of xd, disp2 of
+        # the position/reference planes — the restored run continues
+        # bitwise-identically to one that never stopped)
+        kw["occ"] = reslot_ops.block_kmax3(kw["xd"], grid)
+        ddx = kw["xd"] - kw["ref_xd"]
+        ddy = kw["yd"] - kw["ref_yd"]
+        kw["disp2"] = jnp.max(ddx * ddx + ddy * ddy)
     sim = DenseSim(**kw)
-    grid = _grid_from(z, "grid.")
     params = FluidParams(**_group(z, "params."))
     cfg = IntegrateConfig(**_group(z, "cfg."))
     return sim, grid, params, cfg, int(z["meta.n"])
@@ -153,15 +162,6 @@ def load_sharded(path: str):
     from ..ops.binning import FAR
     z = np.load(_norm(path))
     kw = _group(z, "sim.")
-    if "sidx" not in kw:       # pre-recovery snapshot: empty spill buffers
-        D = int(kw["xd"].shape[0])
-        kw.update(sx=jnp.full((D, SPILL_CAP), FAR, jnp.float32),
-                  sy=jnp.full((D, SPILL_CAP), FAR, jnp.float32),
-                  svx=jnp.zeros((D, SPILL_CAP), jnp.float32),
-                  svy=jnp.zeros((D, SPILL_CAP), jnp.float32),
-                  sidx=jnp.full((D, SPILL_CAP), -1, jnp.int32),
-                  readmitted=jnp.zeros((D,), jnp.int32))
-    sim = ShardedDenseSim(**kw)
     spec = ShardSpec(
         n_devices=int(z["spec.n_devices"]),
         nx_local=int(z["spec.nx_local"]),
@@ -169,6 +169,33 @@ def load_sharded(path: str):
         global_x0=float(z["spec.global_x0"]),
         capacity=int(z["spec.capacity"]),
         mig_cap=int(z["spec.mig_cap"]))
+    D = int(kw["xd"].shape[0])
+    if "sidx" not in kw:       # pre-recovery snapshot: empty spill buffers
+        kw.update(sx=jnp.full((D, SPILL_CAP), FAR, jnp.float32),
+                  sy=jnp.full((D, SPILL_CAP), FAR, jnp.float32),
+                  svx=jnp.zeros((D, SPILL_CAP), jnp.float32),
+                  svy=jnp.zeros((D, SPILL_CAP), jnp.float32),
+                  sidx=jnp.full((D, SPILL_CAP), -1, jnp.int32),
+                  readmitted=jnp.zeros((D,), jnp.int32))
+    if "occ" not in kw:        # pre-cached-bounds snapshot: recompute both
+        # occ = per-device block_kmax3 maxed with both neighbours' — the
+        # same superset shard_verlet.occ_of builds with ppermute, computed
+        # here with host-side shifts.  disp2 = per-device max over REAL
+        # lanes (ghosts excluded), as the step stores it.  Both exact.
+        from ..ops import reslot as reslot_ops
+        g = spec.local_grid
+        occ = jax.vmap(lambda xd: reslot_ops.block_kmax3(xd, g))(kw["xd"])
+        if D > 1:
+            from_left = jnp.concatenate([occ[:1], occ[:-1]])
+            from_right = jnp.concatenate([occ[1:], occ[-1:]])
+            occ = jnp.maximum(occ, jnp.maximum(from_left, from_right))
+        kw["occ"] = occ
+        nxl = spec.nx_local
+        rl = lambda a: a[:, :, :, 1:nxl + 1]
+        ddx = rl(kw["xd"]) - rl(kw["ref_xd"])
+        ddy = rl(kw["yd"]) - rl(kw["ref_yd"])
+        kw["disp2"] = jnp.max(ddx * ddx + ddy * ddy, axis=(1, 2, 3))
+    sim = ShardedDenseSim(**kw)
     params = FluidParams(**_group(z, "params."))
     cfg = IntegrateConfig(**_group(z, "cfg."))
     return sim, spec, params, cfg, int(z["meta.n"])

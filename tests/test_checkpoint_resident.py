@@ -101,3 +101,74 @@ def test_sharded_save_restore_continues_bitwise(tmp_path, sverlet_d4):
     ids = np.asarray(b.idx_d).reshape(-1)
     ids = np.sort(ids[ids >= 0])
     assert (ids == np.arange(runs["n"])).all()
+
+
+def _strip_keys(path, drop):
+    """Rewrite an .npz without the given sim.* keys (simulates snapshots
+    written by earlier resident-checkpoint formats)."""
+    z = np.load(path + ".npz")
+    kept = {k: z[k] for k in z.files if k not in drop}
+    np.savez(path + ".npz", **kept)
+
+
+LEGACY_KEYS = ("sim.occ", "sim.disp2", "sim.sx", "sim.sy", "sim.svx",
+               "sim.svy", "sim.sidx", "sim.readmitted")
+
+
+def test_load_dense_legacy_format_continues_bitwise(tmp_path):
+    """Snapshots from the first resident-checkpoint format (no spill
+    buffers, no cached occ/disp2 — commit c6caa13's DenseSim) must load:
+    the shim recomputes occ (pure function of xd) and disp2 (of the
+    position/reference planes) exactly, so continuation is still bitwise
+    identical to the uninterrupted run."""
+    state = init_grid(24, 24, 0.04)
+    sess = verlet_solver.Session(state, PARAMS, CFG, GRID)
+    sess.run(30)                       # a few rebins: occ/disp2 non-trivial
+    path = str(tmp_path / "legacy")
+    sess.save(path)
+    _strip_keys(path, LEGACY_KEYS)
+
+    sim_l, grid_l, params_l, cfg_l, n_l = checkpoint.load_dense(path)
+    np.testing.assert_array_equal(np.asarray(sim_l.occ),
+                                  np.asarray(sess.sim.occ))
+    np.testing.assert_array_equal(np.asarray(sim_l.disp2),
+                                  np.asarray(sess.sim.disp2))
+    assert int(jnp.sum(sim_l.sidx >= 0)) == 0
+
+    stepf = jax.jit(verlet_solver.make_step(params_l, cfg_l, grid_l, n=n_l))
+    a, b = sess.sim, sim_l
+    for _ in range(10):
+        a, b = stepf(a), stepf(b)
+    for f in ("xd", "yd", "vxd", "vyd", "rebin_count"):
+        np.testing.assert_array_equal(np.asarray(getattr(a, f)),
+                                      np.asarray(getattr(b, f)), err_msg=f)
+
+
+def test_load_sharded_legacy_format_continues_bitwise(tmp_path, sverlet_d4):
+    """Same legacy-format guarantee for the multi-chip snapshot: the shim
+    rebuilds the per-device occ superset (own + both neighbours, the same
+    bound occ_of builds with ppermute) and the per-device real-lane disp2."""
+    runs = sverlet_d4
+    path = str(tmp_path / "legacy_sh")
+    checkpoint.save_sharded(path, runs["xla"], runs["spec"], runs["params"],
+                            runs["cfg"], runs["n"])
+    _strip_keys(path, LEGACY_KEYS)
+
+    sim_l, spec_l, params_l, cfg_l, n_l = checkpoint.load_sharded(path)
+    np.testing.assert_array_equal(np.asarray(sim_l.occ),
+                                  np.asarray(runs["xla"].occ))
+    np.testing.assert_array_equal(np.asarray(sim_l.disp2),
+                                  np.asarray(runs["xla"].disp2))
+
+    mesh = shard.make_mesh(4)
+    _, step_fn = shard_verlet.make_sharded_verlet_step(
+        params_l, cfg_l, spec_l, mesh)
+    a, b = runs["xla"], sim_l
+    for _ in range(5):
+        a = step_fn(a)
+        jax.block_until_ready(a.xd)
+        b = step_fn(b)
+        jax.block_until_ready(b.xd)
+    for f in ("xd", "yd", "vxd", "vyd", "idx_d", "rebin_count"):
+        np.testing.assert_array_equal(np.asarray(getattr(a, f)),
+                                      np.asarray(getattr(b, f)), err_msg=f)

@@ -104,3 +104,32 @@ def test_verlet_recovery_conserves_under_jit_scan():
     out = run(state)
     assert bool((out.x < FAR * 0.5).all())
     assert bool(jnp.isfinite(out.x).all())
+
+
+def test_verlet_recovery_off_keeps_far_contract():
+    """With recovery OFF (make_step n=None) an init-sort capacity drop must
+    keep the documented counted-loss/FAR contract: pass
+    ``collect_spill=False`` to init_dense and the drop never surfaces as a
+    frozen phantom (nothing drains the spill when recovery is off)."""
+    grid = verlet_solver.default_grid(0.045, -1.0, 2.5, y_max=3.0, cap=8,
+                                      skin_factor=1.5)
+    state = crowded_state()
+    stepf = jax.jit(verlet_solver.make_step(PARAMS, CFG, grid))  # n=None
+    sim = verlet_solver.init_dense(state, grid, collect_spill=False)
+    assert int(sim.suspended) == 0
+    assert int(sim.overflow) == 1                             # still counted
+    x0, *_ = verlet_solver.extract_fields(sim, grid, PARAMS, state.n)
+    # the init drop is FAR immediately — NOT a frozen phantom at position
+    assert int(jnp.sum(x0 >= FAR * 0.5)) == 1
+    for _ in range(20):
+        sim = stepf(sim)
+    assert int(sim.suspended) == 0                            # never filled
+    x, y, vx, vy, rho = verlet_solver.extract_fields(sim, grid, PARAMS,
+                                                     state.n)
+    far = x >= FAR * 0.5
+    # recovery-off semantics: this violent scene also sheds ballistic
+    # window losses at rebins — every loss is FAR + counted, none frozen
+    assert int(jnp.sum(far)) >= 1
+    assert int(sim.overflow + sim.lost) == int(jnp.sum(far))
+    # the survivors keep integrating normally
+    assert bool(jnp.isfinite(x[~far]).all() & (jnp.abs(vx[~far]) < 1e3).all())

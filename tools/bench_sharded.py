@@ -139,7 +139,7 @@ def main() -> int:
             return s, frame_fn(s)
 
         sim_f = finit_fn(shard.shard_state(state, fspec))
-        for _ in range(args.warmup_steps // 16):
+        for _ in range(max(1, args.warmup_steps // 16)):    # >=1: compiles
             sim_f, img = frame_step(sim_f)
         jax.block_until_ready(img)                          # compile+warm
         frames = 0
