@@ -79,6 +79,20 @@ _EPS = 1e-6  # grad/laplacian zero-distance cutoff (sph_density.wgsl:1)
 # with 85 blocks, -19% at 10k with ~10 blocks).
 _DBUF_MIN_BLOCKS = 20
 
+
+# Double-buffering also has a WIDTH ceiling: at nx_pad ~5888 (the
+# 128M-particle grid) the forces kernel's scoped VMEM with two slots per
+# slab reaches ~109 MiB — over the 100 MiB gate, and raising the gate to
+# 120 MiB compiles but FAULTS the device at runtime (measured).  The
+# second buffer slots cost ~12 MiB at that width; single-buffered the same
+# kernel fits the standard gate.
+_DBUF_MAX_LANES = 5120
+
+
+def _dbuf(grid) -> bool:
+    return (grid.n_row_blocks >= _DBUF_MIN_BLOCKS
+            and grid.nx_pad <= _DBUF_MAX_LANES)
+
 # Below this many row blocks the verlet step runs the MONO kernel (density
 # + forces + integrate in ONE launch, halo-rho recomputed in-VMEM).
 # Hardware A/B (tools/bench_mono_ab.py, v5e, differential window, best-of-3;
@@ -674,12 +688,13 @@ def density_pallas(xd, yd, params: FluidParams, grid: GridSpec2D,
         interpret = _interpret_default()
     tb = grid.row_block
     nb = grid.n_row_blocks
+    dbuf = _dbuf(grid)
     kernel = functools.partial(_density_kernel, tb=tb, nb=nb,
-                               adaptive=adaptive,
-                               dbuf=nb >= _DBUF_MIN_BLOCKS)
+                               adaptive=adaptive, dbuf=dbuf)
     if occ is None:
         occ = block_kmax3(xd, grid)
-    slab2 = pltpu.VMEM((2, tb + 2, grid.cap, grid.nx_pad), jnp.float32)
+    nslots = 2 if dbuf else 1   # single-buffered scratch halves scoped VMEM
+    slab = pltpu.VMEM((nslots, tb + 2, grid.cap, grid.nx_pad), jnp.float32)
     rho = pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -694,8 +709,8 @@ def density_pallas(xd, yd, params: FluidParams, grid: GridSpec2D,
         out_specs=pl.BlockSpec((tb, grid.cap, grid.nx_pad),
                                lambda r: (r + 1, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(xd.shape, jnp.float32),
-        scratch_shapes=[slab2, slab2,
-                        pltpu.SemaphoreType.DMA((2, 2))],
+        scratch_shapes=[slab, slab,
+                        pltpu.SemaphoreType.DMA((nslots, 2))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
             dimension_semantics=("arbitrary",)),
@@ -761,9 +776,9 @@ def forces_integrate_pallas(xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd,
         interpret = _interpret_default()
     tb = grid.row_block
     nb = grid.n_row_blocks
+    dbuf = _dbuf(grid)
     kernel = functools.partial(_forces_integrate_kernel, tb=tb, nb=nb,
-                               adaptive=adaptive,
-                               dbuf=nb >= _DBUF_MIN_BLOCKS,
+                               adaptive=adaptive, dbuf=dbuf,
                                disp_lanes=disp_lanes)
     if occ is None:
         occ = block_kmax3(xd, grid)
@@ -771,12 +786,14 @@ def forces_integrate_pallas(xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd,
     dshape = jax.ShapeDtypeStruct((nb, 8, 128), jnp.float32)
     block = pl.BlockSpec((tb, grid.cap, grid.nx_pad), lambda r: (r + 1, 0, 0))
     dblock = pl.BlockSpec((1, 8, 128), lambda r: (r, 0, 0))
-    # double-buffered: two slots per DMA'd slab (see kernel docstring);
+    # double-buffered: two slots per DMA'd slab (see kernel docstring) —
+    # single-buffered when dbuf is off (halves scoped VMEM; how 128M fits);
     # irs is compute-only (filled in-kernel, never async-copied) so one
-    # slot suffices — a (tb+2)-row slab of VMEM back in the budget
-    slab2 = pltpu.VMEM((2, tb + 2, grid.cap, grid.nx_pad), jnp.float32)
+    # slot suffices always — a (tb+2)-row slab of VMEM back in the budget
+    nslots = 2 if dbuf else 1
+    slab = pltpu.VMEM((nslots, tb + 2, grid.cap, grid.nx_pad), jnp.float32)
     slab1 = pltpu.VMEM((tb + 2, grid.cap, grid.nx_pad), jnp.float32)
-    ref2 = pltpu.VMEM((2, tb, grid.cap, grid.nx_pad), jnp.float32)
+    ref = pltpu.VMEM((nslots, tb, grid.cap, grid.nx_pad), jnp.float32)
     ox, oy, ovx, ovy, disp = pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -787,8 +804,8 @@ def forces_integrate_pallas(xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd,
         + [pl.BlockSpec(memory_space=pl.ANY)] * 7,
         out_specs=(block, block, block, block, dblock),
         out_shape=(out, out, out, out, dshape),
-        scratch_shapes=[slab2] * 5 + [slab1] + [ref2] * 2
-        + [pltpu.SemaphoreType.DMA((2, 7))],
+        scratch_shapes=[slab] * 5 + [slab1] + [ref] * 2
+        + [pltpu.SemaphoreType.DMA((nslots, 7))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
             dimension_semantics=("arbitrary",)),  # cross-program prefetch

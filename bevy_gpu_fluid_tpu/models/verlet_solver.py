@@ -70,7 +70,7 @@ import jax.numpy as jnp
 
 from ..core.params import FluidParams, IntegrateConfig, GridSpec2D, GRAVITY_Y
 from ..core.state import FluidState
-from ..ops.binning import FAR, bin_particles, to_dense
+from ..ops.binning import FAR, bin_particles, cell_coords, to_dense
 from ..ops.kernels import eos_pressure, self_density
 from ..ops import reslot as reslot_ops
 from . import grid_solver, pallas_solver
@@ -191,6 +191,115 @@ def init_dense(state: FluidState, grid: GridSpec2D,
                     svx=jnp.where(dv, state.vx[ds], 0.0),
                     svy=jnp.where(dv, state.vy[ds], 0.0),
                     sidx=jnp.where(dv, dpos.astype(jnp.int32), -1),
+                    readmitted=jnp.int32(0))
+
+
+def init_dense_chunked(state: FluidState, grid: GridSpec2D, n_chunks: int,
+                       spill_cap: int = SPILL_CAP,
+                       collect_spill: bool = True) -> DenseSim:
+    """``init_dense`` with O(N / n_chunks) transient memory.
+
+    The sort-based init's workspace (argsort keys/values + several [N]
+    int planes) is what exhausts HBM first at very large N — the resident
+    dense planes themselves fit well past it (BASELINE.json
+    round3_memory_ceiling).  This variant scans over particle chunks,
+    keeping a running per-cell occupancy count: a particle's global
+    within-cell rank is its stable rank within the chunk plus the cells'
+    count from earlier chunks, which reproduces the sort-based slot
+    assignment EXACTLY (chunks are processed in original particle order,
+    and the sort was stable in that same order) — the resulting DenseSim
+    is bitwise-identical to ``init_dense``'s (tests/test_verlet.py).
+
+    Transients per chunk: one [N/K] argsort + a handful of [N/K] planes,
+    vs the full-[N] sort pipeline.  Use for N >~ 64M (Session's
+    ``init_chunks``); below that the one-shot sort is simpler and the
+    memory headroom irrelevant."""
+    g = grid
+    n = state.n
+    K = n_chunks
+    c = -(-n // K)
+    pad = K * c - n
+
+    def padf(a, fill):
+        if pad == 0:
+            return a
+        return jnp.concatenate([a, jnp.full((pad,), fill, a.dtype)])
+
+    chunks = (padf(state.x, FAR).reshape(K, c),
+              padf(state.y, FAR).reshape(K, c),
+              padf(state.vx, 0.0).reshape(K, c),
+              padf(state.vy, 0.0).reshape(K, c),
+              padf(jnp.arange(n, dtype=jnp.int32), -1).reshape(K, c))
+
+    shape = (g.ny_pad, g.cap, g.nx_pad)
+    carry = (jnp.full(shape, FAR, jnp.float32),
+             jnp.full(shape, FAR, jnp.float32),
+             jnp.zeros(shape, jnp.float32),
+             jnp.zeros(shape, jnp.float32),
+             jnp.full(shape, -1, jnp.int32),
+             jnp.zeros((g.ny, g.nx), jnp.int32),        # running cell counts
+             jnp.int32(0),                              # overflow
+             jnp.full((spill_cap,), FAR, jnp.float32),
+             jnp.full((spill_cap,), FAR, jnp.float32),
+             jnp.zeros((spill_cap,), jnp.float32),
+             jnp.zeros((spill_cap,), jnp.float32),
+             jnp.full((spill_cap,), -1, jnp.int32))
+
+    def body(carry, chunk):
+        (xd, yd, vxd, vyd, idx_d, cnt, overflow,
+         sx, sy, svx, svy, sidx) = carry
+        x, y, vx, vy, idx = chunk
+        valid = idx >= 0                       # padding slots are dead
+        cx, cy = cell_coords(x, y, g)
+        cid = jnp.where(valid, cx + cy * g.nx, g.num_cells)
+
+        # stable within-chunk rank (same machinery as bin_particles)
+        m = x.shape[0]
+        perm = jnp.argsort(cid, stable=True)
+        pos = jnp.arange(m, dtype=jnp.int32)
+        sc = cid[perm]
+        is_new = jnp.concatenate([jnp.ones((1,), bool), sc[1:] != sc[:-1]])
+        seg = jax.lax.cummax(jnp.where(is_new, pos, -1))
+        rank = jnp.zeros((m,), jnp.int32).at[perm].set(pos - seg)
+
+        base = cnt[cy, cx]                     # counts from earlier chunks
+        slot = base + rank                     # == the global stable rank
+        over = valid & (slot >= g.cap)
+        store = jnp.where(valid & ~over, slot, g.cap + (1 << 20))
+        row = jnp.where(valid, cy + g.row0, 0)
+        col = jnp.where(valid, cx + 1, 0)
+        xd = xd.at[row, store, col].set(x, mode="drop")
+        yd = yd.at[row, store, col].set(y, mode="drop")
+        vxd = vxd.at[row, store, col].set(vx, mode="drop")
+        vyd = vyd.at[row, store, col].set(vy, mode="drop")
+        idx_d = idx_d.at[row, store, col].set(idx, mode="drop")
+        cnt = cnt.at[cy, cx].add(valid.astype(jnp.int32), mode="drop")
+        overflow = overflow + jnp.sum(over).astype(jnp.int32)
+
+        if collect_spill:
+            dpos = jnp.nonzero(over, size=spill_cap, fill_value=m)[0]
+            dv = dpos < m
+            ds = jnp.minimum(dpos, m - 1)
+            batch = (jnp.where(dv, x[ds], FAR), jnp.where(dv, y[ds], FAR),
+                     jnp.where(dv, vx[ds], 0.0), jnp.where(dv, vy[ds], 0.0),
+                     jnp.where(dv, idx[ds], -1))
+            pool = [jnp.concatenate([old, new]) for old, new in
+                    zip((sx, sy, svx, svy, sidx), batch)]
+            keep = jnp.argsort(pool[4] < 0, stable=True)[:spill_cap]
+            sx, sy, svx, svy, sidx = (p[keep] for p in pool)
+        return (xd, yd, vxd, vyd, idx_d, cnt, overflow,
+                sx, sy, svx, svy, sidx), None
+
+    out, _ = jax.lax.scan(body, carry, chunks)
+    (xd, yd, vxd, vyd, idx_d, _cnt, overflow,
+     sx, sy, svx, svy, sidx) = out
+    return DenseSim(xd=xd, yd=yd, vxd=vxd, vyd=vyd,
+                    rho_d=jnp.zeros_like(xd), ref_xd=xd, ref_yd=yd,
+                    idx_d=idx_d, occ=reslot_ops.block_kmax3(xd, grid),
+                    disp2=jnp.float32(0.0), age=jnp.int32(0),
+                    overflow=overflow, lost=jnp.int32(0),
+                    rebin_count=jnp.int32(1), step=state.step,
+                    sx=sx, sy=sy, svx=svx, svy=svy, sidx=sidx,
                     readmitted=jnp.int32(0))
 
 
@@ -508,14 +617,30 @@ class Session:
     def __init__(self, state: FluidState, params: FluidParams,
                  cfg: IntegrateConfig, grid: GridSpec2D, stencils=None,
                  max_age: int = 64, reslot=None,
-                 spill_cap: int = SPILL_CAP):
-        self._setup(params, cfg, grid, state.n, stencils, max_age, reslot)
-        self.sim = jax.jit(
-            partial(init_dense, grid=self.grid, spill_cap=spill_cap))(state)
+                 spill_cap: int = SPILL_CAP, init_chunks: int | None = None,
+                 donate: bool = False):
+        """``init_chunks``/``donate`` are the very-large-N knobs (both
+        matter past ~64M particles, where HBM — not compute — is the
+        ceiling): ``init_chunks=K`` builds the dense state with the
+        chunked init (O(N/K) transients instead of the full-[N] sort
+        workspace, bitwise-identical result); ``donate=True`` donates the
+        resident sim into ``run``'s dispatch so old and new dense planes
+        never coexist (halves steady-state footprint; any outside
+        reference to a previous ``sess.sim`` is invalidated — snapshot
+        via ``save``/``state()`` instead of holding the pytree)."""
+        self._setup(params, cfg, grid, state.n, stencils, max_age, reslot,
+                    donate=donate)
+        if init_chunks is not None:
+            self.sim = jax.jit(partial(
+                init_dense_chunked, grid=self.grid, n_chunks=init_chunks,
+                spill_cap=spill_cap))(state)
+        else:
+            self.sim = jax.jit(partial(
+                init_dense, grid=self.grid, spill_cap=spill_cap))(state)
 
     def _setup(self, params: FluidParams, cfg: IntegrateConfig,
                grid: GridSpec2D, n: int, stencils, max_age: int,
-               reslot) -> None:
+               reslot, donate: bool = False) -> None:
         from ..render import raster
 
         self.params = params
@@ -524,7 +649,8 @@ class Session:
         self.n = n
         stepf = make_step(params, cfg, grid, stencils, max_age, reslot, n=n)
 
-        @partial(jax.jit, static_argnums=1)
+        @partial(jax.jit, static_argnums=1,
+                 donate_argnums=(0,) if donate else ())
         def run_k(sim, k):
             return jax.lax.scan(lambda s, _: (stepf(s), None), sim, None,
                                 length=k)[0]

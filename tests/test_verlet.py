@@ -73,3 +73,59 @@ def test_identical_to_eager_when_skin_never_exceeded():
 # the run100[xla] fixture tests — repeating the Session pairing with
 # explicit XLA stencils re-traced three large XLA-stencil programs for
 # 252 s of the suite's 19 min with no added coverage, so it was removed.
+
+
+def test_init_dense_chunked_bitwise_matches_sort_init():
+    """The chunked init (O(N/K) transients, the very-large-N path) must
+    reproduce the sort-based init EXACTLY: same slot assignment (stable
+    original-order ranks), same overflow count, same spill contents —
+    every DenseSim leaf bitwise.  Scene mixes a normal block with an
+    overcrowded cluster (9 coincident-cell particles, cap 8) and uses a
+    chunk count that doesn't divide N (exercises the padding path)."""
+    import dataclasses
+    import numpy as np
+    a_ = init_grid(24, 24, 0.04)
+    b_ = init_grid(3, 3, 0.004)           # all 9 in one cell -> 1 drop
+    state = a_.replace(
+        x=jnp.concatenate([a_.x, b_.x + 1.7]),
+        y=jnp.concatenate([a_.y, b_.y + 0.9]),
+        vx=jnp.concatenate([a_.vx, b_.vx]),
+        vy=jnp.concatenate([a_.vy, b_.vy]),
+        ax=jnp.concatenate([a_.ax, b_.ax]),
+        ay=jnp.concatenate([a_.ay, b_.ay]),
+        rho=jnp.concatenate([a_.rho, b_.rho]),
+        p=jnp.concatenate([a_.p, b_.p]))
+    grid = verlet_solver.default_grid(0.045, -1.0, 2.5, y_max=3.0, cap=8,
+                                      skin_factor=1.5)
+    want = verlet_solver.init_dense(state, grid)
+    assert int(want.overflow) >= 1        # the scene really overflows
+    for K in (1, 7):                      # 7 : 585 % 7 != 0 -> padded
+        got = jax.jit(lambda s: verlet_solver.init_dense_chunked(
+            s, grid, n_chunks=K))(state)
+        for f in dataclasses.fields(want):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(want, f.name)),
+                np.asarray(getattr(got, f.name)), err_msg=f"{f.name} K={K}")
+    # collect_spill=False parity too (recovery-off contract)
+    w2 = verlet_solver.init_dense(state, grid, collect_spill=False)
+    g2 = verlet_solver.init_dense_chunked(state, grid, n_chunks=4,
+                                          collect_spill=False)
+    assert int(jnp.sum(g2.sidx >= 0)) == 0
+    np.testing.assert_array_equal(np.asarray(w2.xd), np.asarray(g2.xd))
+
+
+def test_session_donate_runs_and_matches():
+    """donate=True (the very-large-N memory knob) must not change results:
+    a donated Session's trajectory equals the default Session's."""
+    import numpy as np
+    state = init_grid(24, 24, 0.04)
+    grid = verlet_solver.default_grid(0.045, -1.0, 2.5, y_max=3.0)
+    a = verlet_solver.Session(state, PARAMS, CFG, grid)
+    b = verlet_solver.Session(state, PARAMS, CFG, grid, donate=True,
+                              init_chunks=3)
+    a.run(40)
+    b.run(40)
+    sa, sb = a.state(), b.state()
+    np.testing.assert_array_equal(np.asarray(sa.x), np.asarray(sb.x))
+    np.testing.assert_array_equal(np.asarray(sa.vx), np.asarray(sb.vx))
+    assert int(b.sim.rebin_count) == int(a.sim.rebin_count)
