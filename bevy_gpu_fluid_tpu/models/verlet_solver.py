@@ -618,7 +618,7 @@ class Session:
                  cfg: IntegrateConfig, grid: GridSpec2D, stencils=None,
                  max_age: int = 64, reslot=None,
                  spill_cap: int = SPILL_CAP, init_chunks: int | None = None,
-                 donate: bool = False):
+                 donate: bool = False, recovery: bool = True):
         """``init_chunks``/``donate`` are the very-large-N knobs (both
         matter past ~64M particles, where HBM — not compute — is the
         ceiling): ``init_chunks=K`` builds the dense state with the
@@ -627,27 +627,38 @@ class Session:
         resident sim into ``run``'s dispatch so old and new dense planes
         never coexist (halves steady-state footprint; any outside
         reference to a previous ``sess.sim`` is invalidated — snapshot
-        via ``save``/``state()`` instead of holding the pytree)."""
+        via ``save``/``state()`` instead of holding the pytree).
+
+        ``recovery=False`` reverts overflow handling to the counted-loss
+        contract (``make_step``'s ``n=None``: drops are counted, never
+        collected or re-admitted; the init leaves the spill buffer empty
+        per the recovery-off contract).  The recovery pass keeps the
+        pre-rebin planes alive through its collect step and does a
+        dense-size presence scatter, which at 100M+ particles costs
+        whole seconds per rebin and HBM headroom — turn it off for
+        huge scenes that are expected to overflow."""
         self._setup(params, cfg, grid, state.n, stencils, max_age, reslot,
-                    donate=donate)
+                    donate=donate, recovery=recovery)
         if init_chunks is not None:
             self.sim = jax.jit(partial(
                 init_dense_chunked, grid=self.grid, n_chunks=init_chunks,
-                spill_cap=spill_cap))(state)
+                spill_cap=spill_cap, collect_spill=recovery))(state)
         else:
             self.sim = jax.jit(partial(
-                init_dense, grid=self.grid, spill_cap=spill_cap))(state)
+                init_dense, grid=self.grid, spill_cap=spill_cap,
+                collect_spill=recovery))(state)
 
     def _setup(self, params: FluidParams, cfg: IntegrateConfig,
                grid: GridSpec2D, n: int, stencils, max_age: int,
-               reslot, donate: bool = False) -> None:
+               reslot, donate: bool = False, recovery: bool = True) -> None:
         from ..render import raster
 
         self.params = params
         self.cfg = cfg
         self.grid = grid
         self.n = n
-        stepf = make_step(params, cfg, grid, stencils, max_age, reslot, n=n)
+        stepf = make_step(params, cfg, grid, stencils, max_age, reslot,
+                          n=n if recovery else None)
 
         @partial(jax.jit, static_argnums=1,
                  donate_argnums=(0,) if donate else ())
@@ -731,15 +742,16 @@ class Session:
 
     @classmethod
     def restore(cls, path: str, stencils=None, max_age: int = 64,
-                reslot=None) -> "Session":
+                reslot=None, recovery: bool = True) -> "Session":
         """Rebuild a Session from ``save``.  Non-serializable knobs
-        (stencils / reslot backend, max_age) are re-supplied here and must
-        match the saved run's for bitwise continuation (defaults match
-        defaults)."""
+        (stencils / reslot backend, max_age, recovery) are re-supplied here
+        and must match the saved run's for bitwise continuation (defaults
+        match defaults)."""
         from ..utils import checkpoint
         sim, grid, params, cfg, n = checkpoint.load_dense(path)
         self = cls.__new__(cls)
-        self._setup(params, cfg, grid, n, stencils, max_age, reslot)
+        self._setup(params, cfg, grid, n, stencils, max_age, reslot,
+                    recovery=recovery)
         self.sim = sim
         return self
 

@@ -133,3 +133,23 @@ def test_verlet_recovery_off_keeps_far_contract():
     assert int(sim.overflow + sim.lost) == int(jnp.sum(far))
     # the survivors keep integrating normally
     assert bool(jnp.isfinite(x[~far]).all() & (jnp.abs(vx[~far]) < 1e3).all())
+
+
+def test_session_recovery_off_contract():
+    """Session(recovery=False) is the counted-loss knob for huge scenes
+    expected to overflow (the recovery pass costs dense-size scatters and
+    HBM headroom at 100M+): drops are counted, the spill buffer stays
+    empty (init AND steps), nothing re-admits."""
+    grid = verlet_solver.default_grid(0.045, -1.0, 2.5, y_max=3.0, cap=8,
+                                      skin_factor=1.5)
+    state = crowded_state()
+    sess = verlet_solver.Session(state, PARAMS, CFG, grid, recovery=False)
+    assert int(sess.sim.overflow) == 1 and sess.suspended == 0
+    sess.run(20)
+    assert sess.overflow >= 1
+    assert sess.suspended == 0 and sess.readmitted == 0
+    x = sess.state().x
+    # losses surface as FAR (counted-loss contract), survivors finite
+    far = x >= FAR * 0.5
+    assert int(jnp.sum(far)) == sess.overflow
+    assert bool(jnp.isfinite(x[~far]).all())

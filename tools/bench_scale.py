@@ -41,6 +41,13 @@ def main() -> int:
     ap.add_argument("--chunks", type=int, default=16)
     ap.add_argument("--skin", type=float, default=1.75)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--no-recovery", action="store_true",
+                    help="counted-loss overflow contract (recovery=False): "
+                    "the recovery pass keeps pre-rebin planes alive through "
+                    "its collect + dense-size scatter transients, which "
+                    "exceeds rebin-peak HBM past ~96M particles (measured: "
+                    "112M faults at the first overflow-regime rebin with "
+                    "recovery on, runs clean with it off)")
     args = ap.parse_args()
 
     side = int(math.isqrt(args.n))
@@ -58,7 +65,8 @@ def main() -> int:
     t0 = time.time()
     state = bgf.init_grid(side, side, 0.04)
     sess = verlet_solver.Session(state, params, cfg, grid,
-                                 init_chunks=args.chunks, donate=True)
+                                 init_chunks=args.chunks, donate=True,
+                                 recovery=not args.no_recovery)
     del state                       # free the [N] particle planes
     jax.block_until_ready(sess.sim.xd)
     t_init = time.time() - t0
