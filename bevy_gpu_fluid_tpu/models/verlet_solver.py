@@ -369,14 +369,31 @@ def _spill_recover(ops, *, grid: GridSpec2D, n: int, vmax2: float):
     cap = grid.cap
     K = sx.shape[0]
 
-    # -- 1. collect: membership test post vs pre via an [n] presence mask
-    post = idx_d.reshape(-1)
-    pres = jnp.zeros((n,), bool).at[
-        jnp.where(post >= 0, post, n)].set(True, mode="drop")
+    # -- 1. collect: a particle the reslot dropped is one whose id no
+    # longer appears ANYWHERE in the post planes.  reslot can only place
+    # a particle in the cell its position maps to, and it only collects
+    # from the ±1 slot window — so "nowhere in post" is EXACTLY "not
+    # within the 3x3 cell window of its pre-rebin slot".  The window test
+    # is 9*cap vectorized dense compares (VPU-friendly, ~0.1 s at 100M);
+    # the previous [n]-presence-mask form (scatter 262M ids, gather them
+    # back) cost whole SECONDS per recovery rebin at 100M+ and ~2.5 GB of
+    # transients — part of what pushed recovery-armed rebins past HBM
+    # capacity (BASELINE round3_memory_ceiling).  The shifts are STATIC
+    # SLICES of one dead-padded copy (not jnp.roll: nine rolled [R,cap,C]
+    # buffers materialize and cost ~5 GB at 112M; slices fuse into the
+    # compares).
+    R, _, C = pidx_d.shape
+    padded = jnp.pad(idx_d, ((1, 1), (0, 0), (1, 1)), constant_values=-1)
+    found = jnp.zeros(pidx_d.shape, bool)
+    for dr in (0, 1, 2):
+        for dc in (0, 1, 2):
+            shifted = jax.lax.slice(padded, (dr, 0, dc),
+                                    (dr + R, cap, dc + C))
+            for k in range(cap):
+                found = found | (pidx_d == shifted[:, k:k + 1, :])
     pre = pidx_d.reshape(-1)
     total = pre.shape[0]
-    in_post = pres[jnp.clip(pre, 0, n - 1)]
-    dropped = (pre >= 0) & ~in_post
+    dropped = (pre >= 0) & ~found.reshape(-1)
     dpos = jnp.nonzero(dropped, size=K, fill_value=total)[0]
     dv = dpos < total
     dsf = jnp.minimum(dpos, total - 1)
@@ -633,10 +650,9 @@ class Session:
         contract (``make_step``'s ``n=None``: drops are counted, never
         collected or re-admitted; the init leaves the spill buffer empty
         per the recovery-off contract).  The recovery pass keeps the
-        pre-rebin planes alive through its collect step and does a
-        dense-size presence scatter, which at 100M+ particles costs
-        whole seconds per rebin and HBM headroom — turn it off for
-        huge scenes that are expected to overflow."""
+        five pre-rebin planes alive through its collect step, raising
+        the rebin-peak HBM footprint — turn it off when a scene at the
+        very top of the HBM range is expected to overflow."""
         self._setup(params, cfg, grid, state.n, stencils, max_age, reslot,
                     donate=donate, recovery=recovery)
         if init_chunks is not None:

@@ -258,17 +258,40 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
          sx, sy, svx, svy, sidx, readmitted) = ops
         K = sx.shape[0]
 
-        # presence over the global id space: post-rebin residents + my
-        # exports (the receiver accounts for merged/dropped arrivals)
-        post = idx_d.reshape(-1)
-        pres = jnp.zeros((n,), bool).at[
-            jnp.where(post >= 0, post, n)].set(True, mode="drop")
-        for exi in (exi_l, exi_r):
-            e = exi.reshape(-1)
-            pres = pres.at[jnp.where(e >= 0, e, n)].set(True, mode="drop")
+        # presence: post-rebin residents + my exports (the receiver
+        # accounts for merged/dropped arrivals).  Tested WINDOW-locally,
+        # not via an [n] presence mask: reslot placement is ±1-local in
+        # cells and merge_col only reshuffles slots within a cell, so a
+        # surviving resident's id sits within the 3x3 cell window of its
+        # pre slot; an exported id sits in the export column at its
+        # post-reslot row (±1 of its pre row — column is irrelevant, ids
+        # are unique).  Exactly equivalent to the global membership test
+        # (ids are unique and placement is local) without the
+        # [n]-scatter + dense gather, which cost seconds of random
+        # access and [n]+dense transients per recovery rebin at large
+        # slabs (see the single-chip twin,
+        # models/verlet_solver._spill_recover — incl. why the shifts are
+        # static slices of a dead-padded copy, not jnp.roll).
+        R, _, C = pidx_d.shape
+        padded = jnp.pad(idx_d, ((1, 1), (0, 0), (1, 1)),
+                         constant_values=-1)
+        found = jnp.zeros(pidx_d.shape, bool)
+        for dr in (0, 1, 2):
+            for dc in (0, 1, 2):
+                shifted = jax.lax.slice(padded, (dr, 0, dc),
+                                        (dr + R, cap, dc + C))
+                for k in range(cap):
+                    found = found | (pidx_d == shifted[:, k:k + 1, :])
+        exp_pad = jnp.pad(jnp.stack([exi_l, exi_r]),
+                          ((0, 0), (1, 1), (0, 0)), constant_values=-1)
+        for s in (0, 1):
+            for dr in (0, 1, 2):
+                ex_sh = jax.lax.slice(exp_pad, (s, dr, 0),
+                                      (s + 1, dr + R, cap))[0]
+                for k in range(cap):
+                    found = found | (pidx_d == ex_sh[:, k][:, None, None])
         pre = pidx_d.reshape(-1)
-        total = pre.shape[0]
-        gone = (pre >= 0) & ~pres[jnp.clip(pre, 0, n - 1)]
+        gone = (pre >= 0) & ~found.reshape(-1)
 
         def collect(mask_flat, planes_flat, count_hint):
             pos = jnp.nonzero(mask_flat, size=count_hint,

@@ -68,6 +68,13 @@ def test_verlet_overflow_suspends_counts_and_recovers():
     # frees up, and the spilled particle re-admits
     sess.run(60)
     assert sess.readmitted >= 1
+    # identity partition: after drop/suspend/re-admit churn, the multiset of
+    # ids across {dense idx planes} U {spill buffer} is EXACTLY {0..n-1} —
+    # a false "found" in the recovery collect's window-local membership test
+    # loses an id, a false "gone" duplicates one (see _spill_recover)
+    ids = jnp.concatenate([sess.sim.idx_d.reshape(-1), sess.sim.sidx])
+    ids = jnp.sort(ids)[-state.n:]
+    assert bool((ids == jnp.arange(state.n)).all())
     out = sess.state()
     # conservation: every particle is resident or suspended-at-position —
     # nothing is permanently lost to FAR
