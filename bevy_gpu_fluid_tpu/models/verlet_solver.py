@@ -374,23 +374,28 @@ def _spill_recover(ops, *, grid: GridSpec2D, n: int, vmax2: float):
     # a particle in the cell its position maps to, and it only collects
     # from the ±1 slot window — so "nowhere in post" is EXACTLY "not
     # within the 3x3 cell window of its pre-rebin slot".  The window test
-    # is 9*cap vectorized dense compares (VPU-friendly, ~0.1 s at 100M);
-    # the previous [n]-presence-mask form (scatter 262M ids, gather them
-    # back) cost whole SECONDS per recovery rebin at 100M+ and ~2.5 GB of
-    # transients — part of what pushed recovery-armed rebins past HBM
-    # capacity (BASELINE round3_memory_ceiling).  The shifts are STATIC
-    # SLICES of one dead-padded copy (not jnp.roll: nine rolled [R,cap,C]
-    # buffers materialize and cost ~5 GB at 112M; slices fuse into the
-    # compares).
+    # is 9*cap vectorized dense compares; the previous [n]-presence-mask
+    # form (scatter 262M ids, gather them back) cost whole SECONDS per
+    # recovery rebin at 100M+ and ~2.5 GB of transients.  MEMORY SHAPE
+    # MATTERS at the HBM ceiling: per-slot sublane slices
+    # (``shifted[:, k:k+1, :]``) each materialize a layout-changing copy
+    # on TPU (the cap axis is the (8,128) tile's sublane dim), and XLA
+    # kept all 72 live as operands of one fusion — ~9 GB of temps at
+    # 112M, a compile-time RESOURCE_EXHAUSTED.  Hence: a fori_loop over
+    # the 9 shifts (bounds per-iteration liveness to ONE shifted window)
+    # with the cap-membership test as a broadcast-compare ``any``
+    # reduce (fuses; no sublane slicing at all).
     R, _, C = pidx_d.shape
     padded = jnp.pad(idx_d, ((1, 1), (0, 0), (1, 1)), constant_values=-1)
-    found = jnp.zeros(pidx_d.shape, bool)
-    for dr in (0, 1, 2):
-        for dc in (0, 1, 2):
-            shifted = jax.lax.slice(padded, (dr, 0, dc),
-                                    (dr + R, cap, dc + C))
-            for k in range(cap):
-                found = found | (pidx_d == shifted[:, k:k + 1, :])
+
+    def _shift_any(s, found):
+        win = jax.lax.dynamic_slice(padded, (s // 3, 0, s % 3),
+                                    (R, cap, C))
+        return found | jnp.any(
+            pidx_d[:, :, None, :] == win[:, None, :, :], axis=2)
+
+    found = jax.lax.fori_loop(0, 9, _shift_any,
+                              jnp.zeros(pidx_d.shape, bool))
     pre = pidx_d.reshape(-1)
     total = pre.shape[0]
     dropped = (pre >= 0) & ~found.reshape(-1)

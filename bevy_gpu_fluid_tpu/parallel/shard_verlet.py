@@ -269,27 +269,37 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
         # (ids are unique and placement is local) without the
         # [n]-scatter + dense gather, which cost seconds of random
         # access and [n]+dense transients per recovery rebin at large
-        # slabs (see the single-chip twin,
-        # models/verlet_solver._spill_recover — incl. why the shifts are
-        # static slices of a dead-padded copy, not jnp.roll).
+        # slabs.  Same memory shape as the single-chip twin
+        # (models/verlet_solver._spill_recover): fori over the 9 shifts
+        # bounds liveness to one shifted window, and the cap-membership
+        # test is a broadcast-compare ``any`` reduce — per-slot sublane
+        # slices would each materialize a layout-changing copy (the cap
+        # axis is the (8,128) tile's sublane dim) and blow the rebin-peak
+        # HBM at large slabs.
         R, _, C = pidx_d.shape
         padded = jnp.pad(idx_d, ((1, 1), (0, 0), (1, 1)),
                          constant_values=-1)
-        found = jnp.zeros(pidx_d.shape, bool)
-        for dr in (0, 1, 2):
-            for dc in (0, 1, 2):
-                shifted = jax.lax.slice(padded, (dr, 0, dc),
-                                        (dr + R, cap, dc + C))
-                for k in range(cap):
-                    found = found | (pidx_d == shifted[:, k:k + 1, :])
+
+        def _shift_any(s, found):
+            win = jax.lax.dynamic_slice(padded, (s // 3, 0, s % 3),
+                                        (R, cap, C))
+            return found | jnp.any(
+                pidx_d[:, :, None, :] == win[:, None, :, :], axis=2)
+
+        found = jax.lax.fori_loop(0, 9, _shift_any,
+                                  jnp.zeros(pidx_d.shape, bool))
         exp_pad = jnp.pad(jnp.stack([exi_l, exi_r]),
                           ((0, 0), (1, 1), (0, 0)), constant_values=-1)
-        for s in (0, 1):
-            for dr in (0, 1, 2):
-                ex_sh = jax.lax.slice(exp_pad, (s, dr, 0),
-                                      (s + 1, dr + R, cap))[0]
-                for k in range(cap):
-                    found = found | (pidx_d == ex_sh[:, k][:, None, None])
+
+        def _exp_any(s, found):
+            # s in 0..5: export side s // 3, row shift s % 3; membership
+            # over the export column's cap slots as a broadcast any
+            ex_sh = jax.lax.dynamic_slice(exp_pad, (s // 3, s % 3, 0),
+                                          (1, R, cap))[0]
+            return found | jnp.any(
+                pidx_d[:, :, None, :] == ex_sh[:, None, :, None], axis=2)
+
+        found = jax.lax.fori_loop(0, 6, _exp_any, found)
         pre = pidx_d.reshape(-1)
         gone = (pre >= 0) & ~found.reshape(-1)
 
