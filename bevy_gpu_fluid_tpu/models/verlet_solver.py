@@ -408,14 +408,31 @@ def _spill_recover(ops, *, grid: GridSpec2D, n: int, vmax2: float):
     ndvy = jnp.where(dv, pvyd.reshape(-1)[dsf], 0.0)
     ndi = jnp.where(dv, pre[dsf], -1)
 
-    # merge old spill (kept first: oldest-first admission priority) + new
-    # drops, compact valid entries into the K slots
-    pool = [jnp.concatenate([a, b]) for a, b in
-            ((sx, ndx), (sy, ndy), (svx, ndvx), (svy, ndvy), (sidx, ndi))]
-    keep = jnp.argsort(pool[4] < 0, stable=True)[:K]
-    sx, sy, svx, svy, sidx = (p[keep] for p in pool)
+    sx, sy, svx, svy, sidx = _spill_merge(
+        (sx, sy, svx, svy, sidx), (ndx, ndy, ndvx, ndvy, ndi))
 
-    # -- 2. re-admit into cells with free capacity
+    return _spill_admit(xd, yd, vxd, vyd, idx_d, cnt,
+                        sx, sy, svx, svy, sidx, readmitted,
+                        grid=grid, vmax2=vmax2)
+
+
+def _spill_merge(spill, drops):
+    """Merge new drop candidates into the spill buffer (old entries kept
+    first: oldest-first admission priority), compacting valid entries into
+    the K slots.  Entries beyond K are permanently lost (still counted in
+    the cumulative overflow)."""
+    pool = [jnp.concatenate([a, b]) for a, b in zip(spill, drops)]
+    keep = jnp.argsort(pool[4] < 0, stable=True)[:spill[0].shape[0]]
+    return tuple(p[keep] for p in pool)
+
+
+def _spill_admit(xd, yd, vxd, vyd, idx_d, cnt,
+                 sx, sy, svx, svy, sidx, readmitted, *,
+                 grid: GridSpec2D, vmax2: float):
+    """Re-admit spill entries into cells with free post-rebin capacity
+    (step 2 of _spill_recover; shared with the planar rebin path)."""
+    cap = grid.cap
+    K = sx.shape[0]
     valid = sidx >= 0
     inv = 1.0 / grid.cell_size
     gx = jnp.where(valid, sx, grid.origin_x)   # FAR would overflow int32
@@ -450,7 +467,7 @@ def _spill_recover(ops, *, grid: GridSpec2D, n: int, vmax2: float):
 
 def make_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
               stencils=None, max_age: int = 64, reslot=None,
-              n: int | None = None):
+              n: int | None = None, planar: bool = False):
     """Build the dense step fn: DenseSim -> DenseSim.
 
     Requires grid.cell_size > h (a real skin).  ``max_age`` bounds staleness
@@ -466,7 +483,15 @@ def make_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
     skin trigger reads the ``disp2`` scalar the previous step's kernel
     epilogue wrote (identical value — same positions, same reference).
     Explicit ``stencils`` (XLA fallback / custom) keep the unfused path
-    with the same stored-disp2 trigger semantics."""
+    with the same stored-disp2 trigger semantics.
+
+    ``planar=True`` switches the rebin to the plane-at-a-time pipeline
+    (ops/reslot.py select + per-plane apply): bit-identical slot
+    assignments, but the rebin peak never holds all 5 input + 5 output
+    planes at once — the HBM-ceiling mode (the fused rebin's ~13
+    plane-footprints is the observed 128M-particle fault).  The recovery
+    collect reads the routing code instead of comparing pre/post idx
+    planes, so the pre-rebin payload planes die at their own apply."""
     fused = stencils is None
     # small grids take the MONO kernel (one launch/step, halo-rho
     # recomputed in-VMEM — ulp-level identical to the two-kernel path);
@@ -483,6 +508,79 @@ def make_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
     # with zero skin every step would rebin and this is just a slower eager
     # solver. Not assertable here: params.h may be traced.
     skin_half = _skin(params, grid)
+
+    def rebin_planar(sim: DenseSim) -> DenseSim:
+        """Plane-at-a-time rebin (see make_step docstring).  Contractually
+        identical to ``rebin`` below — same slot assignments, diagnostics,
+        and recovery semantics — restructured for HBM-peak liveness:
+        collect happens BEFORE the applies (old planes still alive), each
+        apply kills its input plane, admit runs on the new planes."""
+        interp = reslot_ops._interpret_default()
+        alive_before = jnp.sum(sim.xd < FAR * 0.5).astype(jnp.int32)
+        code, cnt = reslot_ops.select_pallas(sim.xd, sim.yd, grid,
+                                             interpret=interp, occ=sim.occ)
+        matched = jnp.sum(cnt).astype(jnp.int32)
+        captured = jnp.sum(jnp.minimum(cnt, grid.cap)).astype(jnp.int32)
+        new_over = matched - captured
+        sx, sy, svx, svy = sim.sx, sim.sy, sim.svx, sim.svy
+        sidx, readmitted = sim.sidx, sim.readmitted
+        need = jnp.bool_(False)
+        if n is not None:
+            need = (alive_before - captured > 0) | jnp.any(sidx >= 0)
+            K = sx.shape[0]
+
+            def collect(ops):
+                code, pxd, pyd, pvxd, pvyd, pidx_d, *spill = ops
+                taken = reslot_ops.taken_mask(code, grid.cap)
+                pre = pidx_d.reshape(-1)
+                total = pre.shape[0]
+                dropped = (pre >= 0) & ~taken.reshape(-1)
+                dpos = jnp.nonzero(dropped, size=K, fill_value=total)[0]
+                dv = dpos < total
+                dsf = jnp.minimum(dpos, total - 1)
+                drops = (jnp.where(dv, pxd.reshape(-1)[dsf], FAR),
+                         jnp.where(dv, pyd.reshape(-1)[dsf], FAR),
+                         jnp.where(dv, pvxd.reshape(-1)[dsf], 0.0),
+                         jnp.where(dv, pvyd.reshape(-1)[dsf], 0.0),
+                         jnp.where(dv, pre[dsf], -1))
+                return _spill_merge(tuple(spill), drops)
+
+            ops = (code, sim.xd, sim.yd, sim.vxd, sim.vyd, sim.idx_d,
+                   sx, sy, svx, svy, sidx)
+            sx, sy, svx, svy, sidx = jax.lax.cond(
+                need, collect, lambda op: tuple(op[6:]), ops)
+
+        xd = reslot_ops.apply_code_pallas(sim.xd, code, sim.occ, grid,
+                                          FAR, interp)
+        yd = reslot_ops.apply_code_pallas(sim.yd, code, sim.occ, grid,
+                                          FAR, interp)
+        vxd = reslot_ops.apply_code_pallas(sim.vxd, code, sim.occ, grid,
+                                           0.0, interp)
+        vyd = reslot_ops.apply_code_pallas(sim.vyd, code, sim.occ, grid,
+                                           0.0, interp)
+        idx_d = reslot_ops.apply_code_pallas(sim.idx_d, code, sim.occ, grid,
+                                             -1, interp)
+
+        if n is not None:
+            vmax2 = (skin_half / cfg.dt) ** 2
+            (xd, yd, vxd, vyd, idx_d, sx, sy, svx, svy, sidx,
+             readmitted) = jax.lax.cond(
+                need,
+                lambda op: _spill_admit(*op, grid=grid, vmax2=vmax2),
+                lambda op: (op[0], op[1], op[2], op[3], op[4],
+                            op[6], op[7], op[8], op[9], op[10], op[11]),
+                (xd, yd, vxd, vyd, idx_d, cnt,
+                 sx, sy, svx, svy, sidx, readmitted))
+        return DenseSim(xd=xd, yd=yd, vxd=vxd, vyd=vyd, rho_d=sim.rho_d,
+                        ref_xd=xd, ref_yd=yd, idx_d=idx_d,
+                        occ=reslot_ops.block_kmax3(xd, grid),
+                        disp2=jnp.float32(0.0),
+                        age=jnp.int32(0),
+                        overflow=sim.overflow + new_over,
+                        lost=sim.lost + (alive_before - matched),
+                        rebin_count=sim.rebin_count + 1, step=sim.step,
+                        sx=sx, sy=sy, svx=svx, svy=svy, sidx=sidx,
+                        readmitted=readmitted)
 
     def rebin(sim: DenseSim) -> DenseSim:
         alive_before = jnp.sum(sim.xd < FAR * 0.5).astype(jnp.int32)
@@ -528,7 +626,8 @@ def make_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
         # disp2 was computed at the end of the previous step against the
         # same reference — the same value the old pre-step reduction read
         need = (sim.disp2 > skin_half * skin_half) | (sim.age >= max_age)
-        sim = jax.lax.cond(need, rebin, lambda s: s, sim)
+        sim = jax.lax.cond(need, rebin_planar if planar else rebin,
+                           lambda s: s, sim)
 
         if mono:
             xd, yd, vxd, vyd, rho_d, disp2 = pallas_solver.mono_step_pallas(
@@ -588,6 +687,16 @@ def make_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
     return step
 
 
+def planar_rebin_default(grid: GridSpec2D) -> bool:
+    """Auto-select the plane-at-a-time rebin near the HBM ceiling: the
+    fused rebin peaks at ~13 dense plane-footprints (8 resident + 5 reslot
+    outputs), which faulted at 128M particles on a 16 GiB chip — switch
+    to planar once that estimate crowds the HBM (leaving headroom for
+    kernel transients and the recovery collect)."""
+    plane_bytes = grid.ny_pad * grid.cap * grid.nx_pad * 4
+    return plane_bytes * 13 > 14 * 1024 ** 3
+
+
 def default_grid(params_h: float, x_min: float, x_max: float, y_max: float,
                  cap: int = 8, skin_factor: float = 1.5) -> GridSpec2D:
     """Binning grid with a Verlet skin: cells of skin_factor*h."""
@@ -640,7 +749,8 @@ class Session:
                  cfg: IntegrateConfig, grid: GridSpec2D, stencils=None,
                  max_age: int = 64, reslot=None,
                  spill_cap: int = SPILL_CAP, init_chunks: int | None = None,
-                 donate: bool = False, recovery: bool = True):
+                 donate: bool = False, recovery: bool = True,
+                 planar_rebin: bool | None = None):
         """``init_chunks``/``donate`` are the very-large-N knobs (both
         matter past ~64M particles, where HBM — not compute — is the
         ceiling): ``init_chunks=K`` builds the dense state with the
@@ -657,9 +767,17 @@ class Session:
         per the recovery-off contract).  The recovery pass keeps the
         five pre-rebin planes alive through its collect step, raising
         the rebin-peak HBM footprint — turn it off when a scene at the
-        very top of the HBM range is expected to overflow."""
+        very top of the HBM range is expected to overflow.
+
+        ``planar_rebin`` selects the plane-at-a-time rebin (bit-identical
+        results, lower rebin-peak HBM, slightly more per-rebin launches —
+        see make_step).  Default ``None`` auto-enables it when the fused
+        rebin's ~13 plane-footprint peak would crowd a 16 GiB chip
+        (the observed 128M fused fault, BASELINE.json
+        round3_memory_ceiling)."""
         self._setup(params, cfg, grid, state.n, stencils, max_age, reslot,
-                    donate=donate, recovery=recovery)
+                    donate=donate, recovery=recovery,
+                    planar_rebin=planar_rebin)
         if init_chunks is not None:
             self.sim = jax.jit(partial(
                 init_dense_chunked, grid=self.grid, n_chunks=init_chunks,
@@ -671,15 +789,19 @@ class Session:
 
     def _setup(self, params: FluidParams, cfg: IntegrateConfig,
                grid: GridSpec2D, n: int, stencils, max_age: int,
-               reslot, donate: bool = False, recovery: bool = True) -> None:
+               reslot, donate: bool = False, recovery: bool = True,
+               planar_rebin: bool | None = None) -> None:
         from ..render import raster
 
+        if planar_rebin is None:
+            planar_rebin = planar_rebin_default(grid)
         self.params = params
         self.cfg = cfg
         self.grid = grid
         self.n = n
+        self.planar_rebin = planar_rebin
         stepf = make_step(params, cfg, grid, stencils, max_age, reslot,
-                          n=n if recovery else None)
+                          n=n if recovery else None, planar=planar_rebin)
 
         @partial(jax.jit, static_argnums=1,
                  donate_argnums=(0,) if donate else ())
@@ -763,16 +885,17 @@ class Session:
 
     @classmethod
     def restore(cls, path: str, stencils=None, max_age: int = 64,
-                reslot=None, recovery: bool = True) -> "Session":
+                reslot=None, recovery: bool = True,
+                planar_rebin: bool | None = None) -> "Session":
         """Rebuild a Session from ``save``.  Non-serializable knobs
         (stencils / reslot backend, max_age, recovery) are re-supplied here
         and must match the saved run's for bitwise continuation (defaults
-        match defaults)."""
+        match defaults; ``planar_rebin`` is bit-neutral either way)."""
         from ..utils import checkpoint
         sim, grid, params, cfg, n = checkpoint.load_dense(path)
         self = cls.__new__(cls)
         self._setup(params, cfg, grid, n, stencils, max_age, reslot,
-                    recovery=recovery)
+                    recovery=recovery, planar_rebin=planar_rebin)
         self.sim = sim
         return self
 

@@ -310,6 +310,252 @@ def reslot_pallas(xd, yd, vxd, vyd, idx_d, grid: GridSpec2D,
             fill(oi, -1), fill(cnt, 0))
 
 
+# ---------------------------------------------------------------------------
+# PLANAR reslot: plane-at-a-time rebin for HBM-ceiling particle counts
+# ---------------------------------------------------------------------------
+#
+# The fused kernel above holds 5 input + 5 output dense planes alive at once;
+# with the solver's 8 resident planes that is ~13 plane-footprints at the
+# rebin peak — the observed 128M-particle HBM fault (BASELINE.json
+# round3_memory_ceiling).  The planar pipeline splits the rebin into:
+#
+#   1. SELECT: one kernel reads ONLY x/y and emits a routing CODE plane —
+#      code[r, k, c] encodes which candidate slot (dy, dx, kj) of the 3x3
+#      window feeds output slot (r, k, c) (-1 = empty) — plus the per-cell
+#      match counts.  The code is the entire rebin decision; it is a pure
+#      function of positions, so payload planes are untouched here.
+#   2. APPLY, once per payload plane: a cheap gather kernel routes ONE plane
+#      through the code.  Between applies the consumed input plane is dead,
+#      so XLA's buffer reuse keeps the peak at (live inputs + code + one
+#      output in flight) instead of (all inputs + all outputs).
+#
+# Slot assignments are IDENTICAL to the fused kernel (same candidate
+# enumeration order, same one-hot rank rule — the code plane just makes the
+# decision explicit instead of consuming it in-kernel).  Per-rebin cost is
+# slightly higher (6 launches vs 1; the match arithmetic runs once but the
+# select/compare loop runs per plane), which is noise at the scales that
+# need this: rebins fire ~1/18 steps and the planar path is only selected
+# near the HBM ceiling (see verlet_solver.Session planar_rebin).
+
+_CODE_EMPTY = -1
+
+
+def _code_of(kj, dx: int, dy: int):
+    """Routing code of candidate (kj, dx, dy) — candidate enumeration order
+    (kj outer, then dx, then dy) matches _reslot_kernel/reslot_xla."""
+    return kj * 9 + (dx + 1) * 3 + (dy + 1)
+
+
+def _select_kernel(pr, occ, x_hbm, y_hbm, code_ref, cnt_ref,
+                   xs, ys, sems, *, tb, grid: GridSpec2D,
+                   clip_lo: int, clip_hi: int):
+    r = pl.program_id(0)
+    row_start = (r + 1) * tb - 1
+    copies = [
+        _copy_slab(x_hbm, xs, sems.at[0], row_start, tb + 2),
+        _copy_slab(y_hbm, ys, sems.at[1], row_start, tb + 2),
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    inv = pr[0, 0]
+    ox = pr[0, 1]
+    oy = pr[0, 2]
+    cap = xs.shape[1]
+    nxp = xs.shape[2]
+
+    tgt_cx = jax.lax.broadcasted_iota(jnp.int32, (tb, 1, nxp), 2) - 1
+    abs_row = (r + 1) * tb + jax.lax.broadcasted_iota(
+        jnp.int32, (tb, 1, nxp), 0)
+    tgt_cy = abs_row - grid.row0
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (1, cap, 1), 1)
+
+    code_ref[...] = jnp.full((tb, cap, nxp), _CODE_EMPTY, jnp.int32)
+    cnt = jnp.zeros((tb, 1, nxp), jnp.int32)
+
+    def roll(a, dx):
+        return a if dx == 0 else jnp.roll(a, -dx, axis=-1)
+
+    def shift(a, dy):
+        return jax.lax.slice_in_dim(a, 1 + dy, 1 + dy + tb, axis=0)
+
+    kmax = jnp.maximum(jnp.maximum(occ[0, r], occ[1, r]), occ[2, r])
+
+    def body(kj, cnt):
+        xkf = xs[:, pl.ds(kj, 1), :]
+        ykf = ys[:, pl.ds(kj, 1), :]
+        for dx in (-1, 0, 1):
+            rxf, ryf = roll(xkf, dx), roll(ykf, dx)
+            for dy in (-1, 0, 1):
+                cx_ = shift(rxf, dy)
+                cy_ = shift(ryf, dy)
+                live = cx_ < FAR * 0.5
+                ccx = jnp.floor((cx_ - ox) * inv).astype(jnp.int32)
+                ccy = jnp.floor((cy_ - oy) * inv).astype(jnp.int32)
+                ccx = jnp.where(live, jnp.clip(ccx, clip_lo, clip_hi), -9)
+                ccy = jnp.where(live, jnp.clip(ccy, 0, grid.ny - 1), -9)
+                match = (ccx == tgt_cx) & (ccy == tgt_cy)
+                sel = match & (cnt == kiota)
+                code_ref[...] = jnp.where(sel, _code_of(kj, dx, dy),
+                                          code_ref[...])
+                cnt = cnt + match.astype(jnp.int32)
+        return cnt
+    cnt = jax.lax.fori_loop(0, kmax, body, cnt)
+    cnt_ref[...] = cnt[:, 0, :]
+
+
+def select_pallas(xd, yd, grid: GridSpec2D, interpret: bool | None = None,
+                  clip_lo: int = 0, clip_hi: int | None = None, origin=None,
+                  occ=None):
+    """Planar-rebin phase 1: the routing decision.  Returns (code, cnt) where
+    code is int32[ny_pad, cap, nx_pad] (see _code_of; -1 = empty) and cnt is
+    the same per-cell match count reslot_pallas returns."""
+    if interpret is None:
+        interpret = _interpret_default()
+    if clip_hi is None:
+        clip_hi = grid.nx - 1
+    if origin is None:
+        origin = (grid.origin_x, grid.origin_y)
+    tb = grid.row_block
+    kernel = functools.partial(_select_kernel, tb=tb, grid=grid,
+                               clip_lo=clip_lo, clip_hi=clip_hi)
+    ishape = jax.ShapeDtypeStruct(xd.shape, jnp.int32)
+    cshape = jax.ShapeDtypeStruct((xd.shape[0], xd.shape[2]), jnp.int32)
+    block = pl.BlockSpec((tb, grid.cap, grid.nx_pad), lambda r: (r + 1, 0, 0))
+    cblock = pl.BlockSpec((tb, grid.nx_pad), lambda r: (r + 1, 0))
+    slab = pltpu.VMEM((tb + 2, grid.cap, grid.nx_pad), jnp.float32)
+    params = jnp.stack([
+        1.0 / jnp.float32(grid.cell_size),
+        jnp.asarray(origin[0], jnp.float32),
+        jnp.asarray(origin[1], jnp.float32),
+        0.0, 0.0, 0.0, 0.0, 0.0]).reshape(1, 8)
+    if occ is None:
+        occ = block_kmax3(xd, grid)
+    code, cnt = pl.pallas_call(
+        kernel,
+        grid=(grid.n_row_blocks,),
+        in_specs=[pl.BlockSpec((1, 8), lambda r: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((3, grid.n_row_blocks), lambda r: (0, 0),
+                               memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=(block, cblock),
+        out_shape=(ishape, cshape),
+        scratch_shapes=[slab, slab, pltpu.SemaphoreType.DMA((2,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(params, occ, xd, yd)
+    tb = grid.row_block
+    code = code.at[:tb].set(_CODE_EMPTY).at[-tb:].set(_CODE_EMPTY)
+    cnt = cnt.at[:tb].set(0).at[-tb:].set(0)
+    return code, cnt
+
+
+def _apply_kernel(occ, code_ref, p_hbm, out_ref, psl, sems, *, tb, fill):
+    r = pl.program_id(0)
+    row_start = (r + 1) * tb - 1
+    c = _copy_slab(p_hbm, psl, sems.at[0], row_start, tb + 2)
+    c.start()
+    c.wait()
+
+    code = code_ref[...]
+    out_ref[...] = jnp.full(out_ref.shape, fill, out_ref.dtype)
+
+    def roll(a, dx):
+        return a if dx == 0 else jnp.roll(a, -dx, axis=-1)
+
+    def shift(a, dy):
+        return jax.lax.slice_in_dim(a, 1 + dy, 1 + dy + tb, axis=0)
+
+    kmax = jnp.maximum(jnp.maximum(occ[0, r], occ[1, r]), occ[2, r])
+
+    def body(kj, _):
+        pkf = psl[:, pl.ds(kj, 1), :]
+        for dx in (-1, 0, 1):
+            rpf = roll(pkf, dx)
+            for dy in (-1, 0, 1):
+                sel = code == _code_of(kj, dx, dy)
+                out_ref[...] = jnp.where(sel, shift(rpf, dy), out_ref[...])
+        return 0
+    jax.lax.fori_loop(0, kmax, body, 0)
+
+
+def apply_code_pallas(payload, code, occ, grid: GridSpec2D, fill,
+                      interpret: bool | None = None):
+    """Planar-rebin phase 2: route ONE payload plane through the code.
+    ``occ`` is the pre-rebin block_kmax3 (bounds source kj; code never
+    references a slot past it).  Ghost blocks come back as ``fill``."""
+    if interpret is None:
+        interpret = _interpret_default()
+    tb = grid.row_block
+    kernel = functools.partial(_apply_kernel, tb=tb, fill=fill)
+    block = pl.BlockSpec((tb, grid.cap, grid.nx_pad), lambda r: (r + 1, 0, 0))
+    slab = pltpu.VMEM((tb + 2, grid.cap, grid.nx_pad), payload.dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid.n_row_blocks,),
+        in_specs=[pl.BlockSpec((3, grid.n_row_blocks), lambda r: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  block,
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=block,
+        out_shape=jax.ShapeDtypeStruct(payload.shape, payload.dtype),
+        scratch_shapes=[slab, pltpu.SemaphoreType.DMA((1,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(occ, code, payload)
+    return out.at[:tb].set(fill).at[-tb:].set(fill)
+
+
+def taken_mask(code: jax.Array, cap: int) -> jax.Array:
+    """Per SOURCE slot: was it routed anywhere by this code plane?
+    (True = some target cell collected it.)  The planar-path replacement
+    for the fused recovery's pre-vs-post idx window compare — reads only
+    the code plane, so the payload planes need not be kept alive.  Same
+    fori-over-shifts + broadcast-any memory shape that fixed the >96M
+    recovery fault (see verlet_solver._spill_recover)."""
+    R, _, C = code.shape
+    padded = jnp.pad(code, ((1, 1), (0, 0), (1, 1)),
+                     constant_values=_CODE_EMPTY)
+    kiota = jnp.arange(cap, dtype=jnp.int32)[None, :, None]
+
+    def _shift_any(s, taken):
+        # win[rs, k, cs] = code[rs + s//3 - 1, k, cs + s%3 - 1]: the code of
+        # target slot (rs+dy, k, cs+dx).  It routed source (rs, kj, cs) iff
+        # it equals _code_of(kj, -dx... sign check: code enc'd (dy, dx) is
+        # the offset FROM target TO source, so target (rs+dy, cs+dx) points
+        # back at source rs, cs via enc offset (-dy, -dx) = (1 - s//3,
+        # 1 - s%3), i.e. enc = kj*9 + (2 - s%3)*3 + (2 - s//3).
+        win = jax.lax.dynamic_slice(padded, (s // 3, 0, s % 3), (R, cap, C))
+        enc = kiota * 9 + (2 - s % 3) * 3 + (2 - s // 3)
+        return taken | jnp.any(
+            enc[:, :, None, :] == win[:, None, :, :], axis=2)
+
+    return jax.lax.fori_loop(0, 9, _shift_any,
+                             jnp.zeros(code.shape, bool))
+
+
+def reslot_planar(xd, yd, vxd, vyd, idx_d, grid: GridSpec2D,
+                  interpret: bool | None = None,
+                  clip_lo: int = 0, clip_hi: int | None = None, origin=None):
+    """Plane-at-a-time dense local rebin; same contract (and bit-identical
+    outputs) as reslot_pallas, but the rebin never holds more than one
+    payload input + one payload output alive at a time."""
+    occ = block_kmax3(xd, grid)
+    code, cnt = select_pallas(xd, yd, grid, interpret, clip_lo, clip_hi,
+                              origin, occ=occ)
+    ox = apply_code_pallas(xd, code, occ, grid, FAR, interpret)
+    oy = apply_code_pallas(yd, code, occ, grid, FAR, interpret)
+    ovx = apply_code_pallas(vxd, code, occ, grid, 0.0, interpret)
+    ovy = apply_code_pallas(vyd, code, occ, grid, 0.0, interpret)
+    oi = apply_code_pallas(idx_d, code, occ, grid, -1, interpret)
+    return ox, oy, ovx, ovy, oi, cnt
+
+
 def make_reslot(grid: GridSpec2D, use_pallas: bool = True,
                 interpret: bool | None = None,
                 clip_lo: int = 0, clip_hi: int | None = None):
