@@ -156,12 +156,16 @@ def bench_fps(plan=(10_000, 5_041, 1_024), seconds: float = 3.0,
     dt=5e-4, 16 substeps per 60 Hz frame is real-time) + an on-device raster.
     Unlike the reference harness, every frame here really integrates the
     scene.  Reported twice: frames fully materialized on-device, and frames
-    pulled to host (the latter is tunnel-latency-bound on this rig; a
-    co-located host pays ~1 ms)."""
+    pulled to host.  Both loops are PIPELINED through render.pump.FramePump
+    (one frame in flight): the ~27 ms tunnel dispatch round-trip and the
+    ~27 ms host transfer overlap the next frame's compute instead of
+    serializing with it — every counted frame is still fully materialized
+    (host np bytes / block_until_ready), one frame late."""
     import numpy as np
     from bevy_gpu_fluid_tpu import Simulation, init_grid, FluidParams, \
         IntegrateConfig
     from bevy_gpu_fluid_tpu.models import verlet_solver
+    from bevy_gpu_fluid_tpu.render.pump import FramePump
     for n in plan:
         side = int(math.isqrt(n))
         extent = side * 0.04
@@ -175,14 +179,13 @@ def bench_fps(plan=(10_000, 5_041, 1_024), seconds: float = 3.0,
         jax.block_until_ready(sim.run_frame(substeps))   # compile
 
         def loop(pull: bool) -> float:
+            pump = FramePump(pull=pull)
             frames = 0
             t0 = time.time()
             while time.time() - t0 < seconds:
-                f = sim.run_frame(substeps)   # one dispatch: step + raster
-                if pull:
-                    np.asarray(f)
-                else:
-                    jax.block_until_ready(f)
+                if pump.push(sim.run_frame(substeps)) is not None:
+                    frames += 1
+            if pump.flush() is not None:
                 frames += 1
             return frames / (time.time() - t0)
 
@@ -208,11 +211,14 @@ def bench_frames(n: int = 1_000_000, seconds: float = 10.0,
                                       skin_factor=skin)
     sess = verlet_solver.Session(state, bgf.FluidParams.demo(), cfg, grid)
     img = jax.block_until_ready(sess.run_frame(substeps))   # compile
+    from bevy_gpu_fluid_tpu.render.pump import FramePump
+    pump = FramePump(pull=False)   # on-device streaming, pipelined
     frames = 0
     t0 = time.time()
     while time.time() - t0 < seconds:
-        img = sess.run_frame(substeps)
-        jax.block_until_ready(img)
+        if pump.push(sess.run_frame(substeps)) is not None:
+            frames += 1
+    if pump.flush() is not None:
         frames += 1
     dt = time.time() - t0
     fps = frames / dt

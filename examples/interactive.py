@@ -220,6 +220,8 @@ class InteractiveApp:
         self._thread: threading.Thread | None = None
         self.fps = 0.0
         self.frames = 0
+        from bevy_gpu_fluid_tpu.render.pump import FramePump
+        self._pump = FramePump(pull=True)
 
     # ---- input (screen space, as a browser/window delivers it) ----------
     def pointer_drag(self, px: float, py: float, dx: float, dy: float):
@@ -263,15 +265,19 @@ class InteractiveApp:
 
     # ---- loop -------------------------------------------------------------
     def _run_one_frame(self):
+        # pipelined: publish frame k-1 while frame k's dispatch + transfer
+        # are in flight (render.pump.FramePump) — one frame of latency for
+        # ~2x frame rate on dispatch-latency-bound rigs
         with self._lock:
             pending, self._impulses = self._impulses, []
         for (wx, wy, ux, uy) in pending:
             self.sim.kick(wx, wy, ux, uy)
-        img = np.asarray(self.sim.run_frame(self.substeps, self.mode))
-        with self._lock:
-            self._frame = img
-            self._png = None
-        self.frames += 1
+        img = self._pump.push(self.sim.run_frame(self.substeps, self.mode))
+        if img is not None:             # None only while priming the pipe
+            with self._lock:
+                self._frame = img
+                self._png = None
+            self.frames += 1
 
     def _loop(self):
         t0, n0 = time.time(), 0
@@ -283,7 +289,8 @@ class InteractiveApp:
                 t0, n0 = now, self.frames
 
     def start(self):
-        self._run_one_frame()           # compile before serving
+        self._run_one_frame()           # compile + prime the frame pipe
+        self._run_one_frame()           # first frame lands before serving
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 

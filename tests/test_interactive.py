@@ -41,6 +41,9 @@ def test_view_toggle_changes_frame(app):
     assert app.mode == "density"
     app.toggle_view()
     assert app.mode == "const"
+    # the frame loop is pipelined one frame deep (render.pump.FramePump):
+    # a toggle lands in the NEXT dispatched frame, published one push later
+    app._run_one_frame()
     app._run_one_frame()
     f_const = app.latest_frame()
     assert not np.array_equal(f_density, f_const)
