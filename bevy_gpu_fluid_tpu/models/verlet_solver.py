@@ -687,6 +687,21 @@ def make_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
     return step
 
 
+def _session_fingerprint(stencils, reslot, max_age: int,
+                         recovery: bool) -> dict:
+    """Solver-knob fingerprint for checkpoint compatibility: the knobs are
+    not serializable, so save() records KINDS and restore() rejects a
+    mismatched continuation (custom stencils/reslot can only be matched by
+    kind — identical-kind custom objects are the caller's contract).
+    planar_rebin/donate are bit-neutral and deliberately absent."""
+    return {
+        "solver": "fused-pallas" if stencils is None else "custom-stencils",
+        "reslot": "default" if reslot is None else "custom",
+        "max_age": max_age,
+        "recovery": recovery,
+    }
+
+
 def planar_rebin_default(grid: GridSpec2D) -> bool:
     """Auto-select the plane-at-a-time rebin near the HBM ceiling: the
     fused rebin peaks at ~13 dense plane-footprints (8 resident + 5 reslot
@@ -800,6 +815,8 @@ class Session:
         self.grid = grid
         self.n = n
         self.planar_rebin = planar_rebin
+        self._fingerprint = _session_fingerprint(stencils, reslot, max_age,
+                                                 recovery)
         stepf = make_step(params, cfg, grid, stencils, max_age, reslot,
                           n=n if recovery else None, planar=planar_rebin)
 
@@ -881,7 +898,8 @@ class Session:
         reference: examples/gpu_demo.rs:116-127.)"""
         from ..utils import checkpoint
         checkpoint.save_dense(path, self.sim, self.grid, self.params,
-                              self.cfg, self.n)
+                              self.cfg, self.n,
+                              fingerprint=self._fingerprint)
 
     @classmethod
     def restore(cls, path: str, stencils=None, max_age: int = 64,
@@ -889,9 +907,15 @@ class Session:
                 planar_rebin: bool | None = None) -> "Session":
         """Rebuild a Session from ``save``.  Non-serializable knobs
         (stencils / reslot backend, max_age, recovery) are re-supplied here
-        and must match the saved run's for bitwise continuation (defaults
-        match defaults; ``planar_rebin`` is bit-neutral either way)."""
+        and must match the saved run's for bitwise continuation — a
+        MISMATCH against the artifact's fingerprint raises instead of
+        silently diverging (legacy artifacts without one are accepted
+        unchecked; ``planar_rebin`` is bit-neutral either way)."""
         from ..utils import checkpoint
+        checkpoint.check_fingerprint(
+            checkpoint.load_fingerprint(path),
+            _session_fingerprint(stencils, reslot, max_age, recovery),
+            "Session.restore")
         sim, grid, params, cfg, n = checkpoint.load_dense(path)
         self = cls.__new__(cls)
         self._setup(params, cfg, grid, n, stencils, max_age, reslot,

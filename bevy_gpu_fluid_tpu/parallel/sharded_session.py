@@ -34,6 +34,18 @@ from . import shard as sh
 from . import shard_render, shard_verlet
 
 
+def _sharded_fingerprint(fused: bool, stencils, recover: bool) -> dict:
+    """Solver-knob fingerprint for checkpoint compatibility (the sharded
+    twin of verlet_solver._session_fingerprint; spill_cap/interpret are
+    shape-carried or bit-neutral and deliberately absent)."""
+    return {
+        "solver": "fused-pallas" if fused else
+                  ("custom-stencils" if stencils is not None
+                   else "xla-stencils"),
+        "recovery": recover,
+    }
+
+
 class ShardedSession:
     """Persistent multi-chip run over ``spec.n_devices`` spatial slabs.
 
@@ -69,6 +81,9 @@ class ShardedSession:
         self._build_kw = dict(fused=fused, interpret=interpret,
                               stencils=stencils, recover=recover,
                               spill_cap=spill_cap)
+        # solver-knob fingerprint: save() records it, restore() rejects a
+        # mismatched continuation (see utils.checkpoint.check_fingerprint)
+        self._fingerprint = _sharded_fingerprint(fused, stencils, recover)
 
         @partial(jax.jit, static_argnums=1)
         def run_k(sim, k):
@@ -166,14 +181,23 @@ class ShardedSession:
         """Snapshot the resident representation (counters included)."""
         from ..utils import checkpoint
         checkpoint.save_sharded(path, self.sim, self.spec, self.params,
-                                self.cfg, self.n)
+                                self.cfg, self.n,
+                                fingerprint=self._fingerprint)
 
     @classmethod
     def restore(cls, path: str, mesh=None, **build_kw) -> "ShardedSession":
         """Rebuild a session from ``save``; continues bitwise-identically
         (tests/test_sharded_session.py).  ``build_kw`` forwards
-        fused/interpret/stencils/recover/spill_cap to the constructor."""
+        fused/interpret/stencils/recover/spill_cap to the constructor; a
+        mismatch against the artifact's solver-knob fingerprint raises
+        (legacy artifacts without one are accepted unchecked)."""
         from ..utils import checkpoint
+        checkpoint.check_fingerprint(
+            checkpoint.load_fingerprint(path),
+            _sharded_fingerprint(build_kw.get("fused", True),
+                                 build_kw.get("stencils"),
+                                 build_kw.get("recover", True)),
+            "ShardedSession.restore")
         sim, spec, params, cfg, n = checkpoint.load_sharded(path)
         return cls(None, params, cfg, spec, mesh=mesh, _sim=sim, _n=n,
                    **build_kw)

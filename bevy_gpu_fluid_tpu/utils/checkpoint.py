@@ -91,11 +91,58 @@ def _grid_from(z, prefix: str) -> GridSpec2D:
     return GridSpec2D(**kw)
 
 
+_FP_PREFIX = "meta.fp."
+
+
+def _fp_arrays(fingerprint: dict | None) -> dict:
+    if not fingerprint:
+        return {}
+    return {f"{_FP_PREFIX}{k}": np.asarray(v)
+            for k, v in fingerprint.items()}
+
+
+def load_fingerprint(path: str) -> dict | None:
+    """Solver-knob fingerprint stored by save_dense/save_sharded (None for
+    artifacts from before fingerprinting).  Values come back as python
+    scalars/strings for direct comparison."""
+    z = np.load(_norm(path))
+    fp = {k[len(_FP_PREFIX):]: z[k][()] for k in z.files
+          if k.startswith(_FP_PREFIX)}
+    if not fp:
+        return None
+    return {k: (v.item() if getattr(v, "ndim", 0) == 0 and
+                v.dtype.kind in "biuf" else str(v))
+            for k, v in fp.items()}
+
+
+def check_fingerprint(saved: dict | None, supplied: dict,
+                      where: str) -> None:
+    """Raise on solver-knob mismatch between a checkpoint and the knobs a
+    restore re-supplies — a mismatch continues WITHOUT error but diverges
+    from the uninterrupted run, which is the worst failure mode.  Legacy
+    artifacts (saved is None) are accepted unchecked."""
+    if saved is None:
+        return
+    bad = {k: (saved[k], v) for k, v in supplied.items()
+           if k in saved and saved[k] != v}
+    if bad:
+        detail = ", ".join(f"{k}: saved={s!r} supplied={v!r}"
+                           for k, (s, v) in bad.items())
+        raise ValueError(
+            f"{where}: solver knobs do not match the checkpoint's "
+            f"({detail}) — continuing would silently diverge from the "
+            f"saved run; re-supply the saved knobs (or re-save with the "
+            f"new ones)")
+
+
 def save_dense(path: str, sim, grid: GridSpec2D, params: FluidParams,
-               cfg: IntegrateConfig, n: int) -> None:
+               cfg: IntegrateConfig, n: int,
+               fingerprint: dict | None = None) -> None:
     """Snapshot a verlet ``DenseSim`` (models/verlet_solver.py) with its
     static grid geometry and physics — everything a ``Session.restore``
-    needs to continue bitwise-identically."""
+    needs to continue bitwise-identically.  ``fingerprint`` records the
+    non-serializable solver knobs so restore can REJECT a mismatched
+    continuation instead of silently diverging."""
     arrays = {f"sim.{k}": np.asarray(v)
               for k, v in dataclasses.asdict(sim).items()}
     arrays.update(_grid_arrays("grid.", grid))
@@ -104,6 +151,7 @@ def save_dense(path: str, sim, grid: GridSpec2D, params: FluidParams,
     arrays.update({f"cfg.{k}": np.asarray(v)
                    for k, v in dataclasses.asdict(cfg).items()})
     arrays["meta.n"] = np.asarray(n)
+    arrays.update(_fp_arrays(fingerprint))
     np.savez(_norm(path), **arrays)
 
 
@@ -137,9 +185,11 @@ def load_dense(path: str):
 
 
 def save_sharded(path: str, sim, spec, params: FluidParams,
-                 cfg: IntegrateConfig, n: int) -> None:
+                 cfg: IntegrateConfig, n: int,
+                 fingerprint: dict | None = None) -> None:
     """Snapshot a multi-chip ``ShardedDenseSim`` (parallel/shard_verlet.py)
-    with its ``ShardSpec`` decomposition and physics."""
+    with its ``ShardSpec`` decomposition and physics.  ``fingerprint`` as
+    in ``save_dense``."""
     arrays = {f"sim.{k}": np.asarray(v)
               for k, v in dataclasses.asdict(sim).items()}
     arrays.update(_grid_arrays("spec.local_grid.", spec.local_grid))
@@ -150,6 +200,7 @@ def save_sharded(path: str, sim, spec, params: FluidParams,
     arrays.update({f"cfg.{k}": np.asarray(v)
                    for k, v in dataclasses.asdict(cfg).items()})
     arrays["meta.n"] = np.asarray(n)
+    arrays.update(_fp_arrays(fingerprint))
     np.savez(_norm(path), **arrays)
 
 
