@@ -162,7 +162,13 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
     ``n`` (the GLOBAL particle count) enables per-device overflow RECOVERY
     at collective rebins (spill collection + skin-gated re-admission, see
     module docstring); with ``n=None`` losses are counted but the spill
-    buffers are never refilled or drained."""
+    buffers are never refilled or drained.
+
+    At D=1 the rebin skips the capture/exchange/merge pipeline entirely
+    (slab exits are impossible under the global bounce box) and the default
+    ``reslot`` uses the single-chip clip; a CUSTOM ``reslot`` passed for a
+    D=1 mesh must therefore also use the plain [0, nx-1] clip — ghost-
+    column captures would go unmerged."""
     from ..models import pallas_solver
 
     g = spec.local_grid
@@ -177,9 +183,19 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
             stencils = grid_solver.XLA_STENCILS
         density_fn, forces_fn = stencils
     if reslot is None:
-        reslot = reslot_ops.make_reslot(
-            g, use_pallas=not reslot_ops._interpret_default(),
-            clip_lo=-1, clip_hi=g.nx)   # ghost-column capture for migration
+        # D>1: clip widened to [-1, nx] so slab exits are CAPTURED into the
+        # ghost columns for migration.  D=1: the plain single-chip clip —
+        # the global bounce box keeps every particle inside the (padded)
+        # slab, so captures are impossible and the whole
+        # capture/exchange/merge pipeline is skipped (measured: the capture
+        # glue made the D=1 rebin branch ~2.9x the flagship's).
+        if D > 1:
+            reslot = reslot_ops.make_reslot(
+                g, use_pallas=not reslot_ops._interpret_default(),
+                clip_lo=-1, clip_hi=g.nx)
+        else:
+            reslot = reslot_ops.make_reslot(
+                g, use_pallas=not reslot_ops._interpret_default())
     skin_half = (g.cell_size - params.h) * 0.5
 
     def origin_of(d):
@@ -362,19 +378,67 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
         sidx = jnp.where(admit, -1, sidx)
         return xd, yd, vxd, vyd, idx_d, sx, sy, svx, svy, sidx, readmitted
 
+    def rebin_d1(xd, yd, vxd, vyd, idx_d, overflow, lost, dropped,
+                 sx, sy, svx, svy, sidx, readmitted):
+        """D=1 rebin: the global bounce box keeps every particle inside the
+        (padded) slab, so slab exits are impossible — the default plain-clip
+        reslot captures nothing, and the whole ghost-clear/capture/exchange/
+        merge pipeline is skipped (it cost ~1.8 ms of full-plane
+        materializations per rebin at 1M, 2.9x the flagship's rebin branch,
+        for provably-dead work).  Ghost columns are FAR by invariant at D=1
+        (init never writes them, the per-step fill is an identity, and the
+        plain-clip reslot re-emits them as FAR)."""
+        alive_before = count_live(xd)
+        pre = (xd, yd, vxd, vyd, idx_d)
+        d = jax.lax.axis_index(AXIS)
+        xd, yd, vxd, vyd, idx_d, cnt = reslot(xd, yd, vxd, vyd, idx_d,
+                                              origin=origin_of(d))
+        matched = jnp.sum(cnt).astype(jnp.int32)
+        captured = jnp.sum(jnp.minimum(cnt, cap)).astype(jnp.int32)
+        overflow = overflow + (matched - captured)
+        lost = lost + (alive_before - matched)
+        if n is not None:
+            need = (alive_before - captured > 0) | jnp.any(sidx >= 0)
+            # dead export/merge-drop inputs: _sh_recover reduces exactly to
+            # the single-chip recovery when these never match/select
+            zi = jnp.full(xd.shape[:2], -1, jnp.int32)
+            zm = jnp.zeros(xd.shape[:2], bool)
+            zsrc = jnp.broadcast_to(
+                jnp.asarray([FAR, FAR, 0.0, 0.0, FAR],
+                            jnp.float32).reshape(5, 1, 1),
+                (5,) + xd.shape[:2])
+            ops = (xd, yd, vxd, vyd, idx_d, *pre, zi, zi, zm, zsrc, zm,
+                   zsrc, origin_of(d)[0], sx, sy, svx, svy, sidx,
+                   readmitted)
+            (xd, yd, vxd, vyd, idx_d, sx, sy, svx, svy, sidx,
+             readmitted) = jax.lax.cond(
+                need, _sh_recover,
+                lambda op: (op[0], op[1], op[2], op[3], op[4],
+                            op[17], op[18], op[19], op[20], op[21], op[22]),
+                ops)
+        return (xd, yd, vxd, vyd, idx_d, overflow, lost, dropped,
+                sx, sy, svx, svy, sidx, readmitted)
+
     def collective_rebin(xd, yd, vxd, vyd, idx_d, overflow, lost, dropped,
                          sx, sy, svx, svy, sidx, readmitted):
         """Local reslot with ghost capture + one ppermute pair + edge-cell
-        merge.  Ghost columns must arrive holding NEIGHBOUR values (per-step
-        halo state) and leave cleared (FAR).  Identity (idx) rides the
-        exchange bitcast to f32 — exact round-trip, one ppermute pair still
-        moves everything."""
-        # neighbour-valued ghosts are the neighbour's real particles —
-        # clear them so the reslot can't duplicate them locally
+        merge.  Ghost columns arrive holding NEIGHBOUR values (per-step halo
+        state); only xd and idx_d need clearing — the reslot gates candidate
+        liveness on x alone (ops/reslot.py ``live = x < FAR/2``), so y/vx/vy
+        ghost junk is never collected, and idx must be cleared so the
+        recovery presence test can't mistake neighbour ids for residents.
+        Identity (idx) rides the exchange bitcast to f32 — exact round-trip,
+        one ppermute pair still moves everything.
+
+        Ghost columns of x/y/vx/vy are NOT re-cleared after capture
+        extraction: the per-step ghost fill overwrites them with neighbour
+        values immediately after the rebin cond, before any kernel reads
+        them (occ_of's block_kmax3 may transiently count capture junk — a
+        harmless superset bound)."""
+        # neighbour-valued x-ghosts are the neighbour's real particles —
+        # clear so the reslot can't duplicate them locally (x gates
+        # liveness, so the other payload ghosts can stay stale)
         xd = clear_ghost_cols(xd, FAR)
-        yd = clear_ghost_cols(yd, FAR)
-        vxd = clear_ghost_cols(vxd, 0.0)
-        vyd = clear_ghost_cols(vyd, 0.0)
         idx_d = clear_ghost_cols(idx_d, -1)
         alive_before = count_live(xd)
         pre = (xd, yd, vxd, vyd, idx_d)     # recovery: pre-reslot snapshot
@@ -397,10 +461,6 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
         planes = (xd, yd, vxd, vyd, idx_f)
         ex_l = jnp.stack([col(a, 0) for a in planes])
         ex_r = jnp.stack([col(a, nxl + 1) for a in planes])
-        xd = clear_ghost_cols(xd, FAR)
-        yd = clear_ghost_cols(yd, FAR)
-        vxd = clear_ghost_cols(vxd, 0.0)
-        vyd = clear_ghost_cols(vyd, 0.0)
 
         if D > 1:
             # my left exits -> left neighbour; I receive my right
@@ -417,7 +477,7 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
                               jnp.full_like(ex_l[0], dead_if)])
             in_from_right = jnp.where(d == D - 1, dead, in_from_right)
             in_from_left = jnp.where(d == 0, dead, in_from_left)
-        else:
+        else:  # pragma: no cover — D=1 takes rebin_d1
             in_from_right = in_from_left = None
 
         # edge devices fold their own outward captures back into the edge
@@ -426,7 +486,7 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
         if D > 1:
             src_lane1 = jnp.where(d == 0, ex_l, in_from_left)
             src_lane_nxl = jnp.where(d == D - 1, ex_r, in_from_right)
-        else:
+        else:  # pragma: no cover — D=1 takes rebin_d1
             src_lane1, src_lane_nxl = ex_l, ex_r
 
         fields = [xd, yd, vxd, vyd, idx_f]
@@ -507,11 +567,11 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
             (xd, yd, vxd, vyd, idx_d, occ, age, overflow, lost, dropped,
              rebins, sx, sy, svx, svy, sidx, readmitted,
              ref_xd, ref_yd, alive) = op
+            rebin_fn = collective_rebin if D > 1 else rebin_d1
             (xd, yd, vxd, vyd, idx_d, overflow, lost, dropped,
              sx, sy, svx, svy, sidx, readmitted) = \
-                collective_rebin(xd, yd, vxd, vyd, idx_d, overflow, lost,
-                                 dropped, sx, sy, svx, svy, sidx,
-                                 readmitted)
+                rebin_fn(xd, yd, vxd, vyd, idx_d, overflow, lost,
+                         dropped, sx, sy, svx, svy, sidx, readmitted)
             # ref planes + alive refresh only here (the no-rebin step pays
             # nothing — previously these were full-array where-selects and
             # a live count on EVERY step)

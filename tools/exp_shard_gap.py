@@ -49,6 +49,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--iters", type=int, default=100)
+    ap.add_argument("--isolate-rebin", action="store_true",
+                    help="also run max_age=1 variants to split the gap "
+                    "into per-step base vs per-rebin cost")
     args = ap.parse_args()
 
     side = int(math.isqrt(args.n))
@@ -64,7 +67,19 @@ def main():
     fstep = verlet_solver.make_step(params, cfg, grid, n=n)
     fsim = jax.jit(lambda s: verlet_solver.init_dense(s, grid))(state)
     t, out = scan_time(fstep, fsim, args.iters)
-    print(f"flagship            {t*1e3:8.3f} ms/step  rebins={int(out.rebin_count)}")
+    rb = int(out.rebin_count)
+    print(f"flagship            {t*1e3:8.3f} ms/step  rebins={rb - 1}")
+
+    if args.isolate_rebin:
+        # max_age=1 forces the rebin branch EVERY step; with the standard
+        # run's cadence R this solves base + rebin_cost separately:
+        #   T_std = base + (R/iters) * rebin_cost;  T_ma1 = base + rebin_cost
+        fstep1 = verlet_solver.make_step(params, cfg, grid, n=n, max_age=1)
+        t1, out1 = scan_time(fstep1, fsim, args.iters)
+        r = (rb - 1) / args.iters
+        rc = (t1 - t) / (1.0 - r)
+        print(f"  ma1 (rebin/step)  {t1*1e3:8.3f} ms/step  "
+              f"-> rebin={rc*1e3:.3f} ms, base={(t1-rc)*1e3:.3f} ms")
 
     spec = shard.ShardSpec.build(h=0.045 * 1.75, x_min=-1.0,
                                  x_max=extent + 1.0,
@@ -92,19 +107,31 @@ def main():
         "  -disp_lanes mask ": dict(fip=fip_no_lanes),
         "  -both            ": dict(psum=no_psum, fip=fip_no_lanes),
     }
+    if args.isolate_rebin:
+        variants = {"sharded D=1        ": dict()}
     for name, kw in variants.items():
         jax.lax.psum = kw.get("psum", real_psum)
         pallas_solver.forces_integrate_pallas = kw.get("fip", real_fip)
         try:
             init_fn, step_fn = shard_verlet.make_sharded_verlet_step(
                 params, cfg, spec, mesh, fused=True,
-                n=kw.get("n_override", n))
+                n=kw.get("n_override", n), **kw.get("mk", {}))
             sim = init_fn(sh_state)
             t, out = scan_time(step_fn, sim, args.iters)
         finally:
             jax.lax.psum = real_psum
             pallas_solver.forces_integrate_pallas = real_fip
-        print(f"{name}{t*1e3:8.3f} ms/step  rebins={int(out.rebin_count.sum())}")
+        srb = int(out.rebin_count.sum()) - 1
+        print(f"{name}{t*1e3:8.3f} ms/step  rebins={srb}")
+        if args.isolate_rebin:
+            init1, step1 = shard_verlet.make_sharded_verlet_step(
+                params, cfg, spec, mesh, fused=True, n=n, max_age=1)
+            sim1 = init1(sh_state)
+            t1, _ = scan_time(step1, sim1, args.iters)
+            r = srb / args.iters
+            rc = (t1 - t) / (1.0 - r)
+            print(f"  ma1 (rebin/step)  {t1*1e3:8.3f} ms/step  "
+                  f"-> rebin={rc*1e3:.3f} ms, base={(t1-rc)*1e3:.3f} ms")
     return 0
 
 
