@@ -27,6 +27,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import pytest  # noqa: E402
 
 SVERLET_STEPS = 25
+SVERLET_EXTRA_STEPS = 10  # continuation tail used by the re-shard gates
 
 
 @pytest.fixture(scope="session")
@@ -96,3 +97,33 @@ def sverlet_d4():
     assert int(sdiag.overflow) == 0
     runs["single"] = single
     return runs
+
+
+@pytest.fixture(scope="session")
+def sverlet_d2(sverlet_d4):
+    """The shared sverlet_d4 scene re-run at D=2 (the other half of the
+    re-shard identity gates — session-scoped so every module comparing
+    decompositions draws on ONE run).  Returns (spec2, init2, step2,
+    state_at[SVERLET_STEPS], state_at[SVERLET_STEPS + EXTRA])."""
+    import jax
+
+    from bevy_gpu_fluid_tpu.parallel import shard, shard_verlet
+
+    runs = sverlet_d4
+    spec2 = shard.ShardSpec.build(h=0.045 * 1.5, x_min=-1.0, x_max=2.5,
+                                  y_max=3.0, n_devices=2, capacity=4096)
+    mesh2 = shard.make_mesh(2)
+    init2, step2 = shard_verlet.make_sharded_verlet_step(
+        runs["params"], runs["cfg"], spec2, mesh2)
+    sim = init2(shard.shard_state(runs["state"], spec2))
+    snap = None
+    for i in range(SVERLET_STEPS + SVERLET_EXTRA_STEPS):
+        sim = step2(sim)
+        jax.block_until_ready(sim.xd)
+        if i == SVERLET_STEPS - 1:
+            snap = shard_verlet.extract_fluid_state(
+                sim, spec2, runs["params"], runs["n"])
+    final = shard_verlet.extract_fluid_state(sim, spec2, runs["params"],
+                                             runs["n"])
+    assert int(sim.dropped.sum()) == 0 and int(sim.overflow.max()) == 0
+    return spec2, init2, step2, snap, final

@@ -9,39 +9,11 @@ orders inside the reference's 100-step drift bar of 5.448e-3
 (reference: docs/sprint3/sprint3.md:886-890)."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from bevy_gpu_fluid_tpu.parallel import shard, shard_verlet
 
-from conftest import SVERLET_STEPS
-
-EXTRA_STEPS = 10
-
-
-@pytest.fixture(scope="module")
-def d2_runs(sverlet_d4):
-    """The shared scene re-run at D=2: returns (spec2, init2, step2,
-    state_at[SVERLET_STEPS], state_at[SVERLET_STEPS + EXTRA_STEPS])."""
-    runs = sverlet_d4
-    spec2 = shard.ShardSpec.build(h=0.045 * 1.5, x_min=-1.0, x_max=2.5,
-                                  y_max=3.0, n_devices=2, capacity=4096)
-    mesh2 = shard.make_mesh(2)
-    init2, step2 = shard_verlet.make_sharded_verlet_step(
-        runs["params"], runs["cfg"], spec2, mesh2)
-    sim = init2(shard.shard_state(runs["state"], spec2))
-    snap = None
-    for i in range(SVERLET_STEPS + EXTRA_STEPS):
-        sim = step2(sim)
-        jax.block_until_ready(sim.xd)
-        if i == SVERLET_STEPS - 1:
-            snap = shard_verlet.extract_fluid_state(
-                sim, spec2, runs["params"], runs["n"])
-    final = shard_verlet.extract_fluid_state(sim, spec2, runs["params"],
-                                             runs["n"])
-    assert int(sim.dropped.sum()) == 0 and int(sim.overflow.max()) == 0
-    return spec2, init2, step2, snap, final
+from conftest import SVERLET_EXTRA_STEPS as EXTRA_STEPS
 
 
 def test_init_extract_roundtrip_bitwise(sverlet_d4):
@@ -65,11 +37,11 @@ def test_init_extract_roundtrip_bitwise(sverlet_d4):
                                       np.asarray(runs["state"].vx))
 
 
-def test_d4_matches_d2_per_particle(sverlet_d4, d2_runs):
+def test_d4_matches_d2_per_particle(sverlet_d4, sverlet_d2):
     """The decomposition is invisible to the physics: D=4 and D=2 agree
     per particle at f32-noise level after migration + rebins."""
     runs = sverlet_d4
-    _, _, _, d2_snap, _ = d2_runs
+    _, _, _, d2_snap, _ = sverlet_d2
     d4 = shard_verlet.extract_fluid_state(runs["xla"], runs["spec"],
                                           runs["params"], runs["n"])
     dx = np.abs(np.asarray(d4.x) - np.asarray(d2_snap.x)).max()
@@ -80,12 +52,12 @@ def test_d4_matches_d2_per_particle(sverlet_d4, d2_runs):
     assert dv <= 1e-4, dv
 
 
-def test_d4_run_continues_resharded_at_d2(sverlet_d4, d2_runs):
+def test_d4_run_continues_resharded_at_d2(sverlet_d4, sverlet_d2):
     """VERDICT round-2 gate: a D=4 run, extracted (original order) and
     re-sharded at D=2, continues to the same trajectory as the
     uninterrupted D=2 run."""
     runs = sverlet_d4
-    spec2, init2, step2, _, d2_final = d2_runs
+    spec2, init2, step2, _, d2_final = sverlet_d2
     d4_mid = shard_verlet.extract_fluid_state(runs["xla"], runs["spec"],
                                               runs["params"], runs["n"])
     sim = init2(shard.shard_state(d4_mid, spec2))
