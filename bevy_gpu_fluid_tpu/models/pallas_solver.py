@@ -80,18 +80,30 @@ _EPS = 1e-6  # grad/laplacian zero-distance cutoff (sph_density.wgsl:1)
 _DBUF_MIN_BLOCKS = 20
 
 
-# Double-buffering also has a WIDTH ceiling: at nx_pad ~5888 (the
+# Full double-buffering also has a WIDTH ceiling: at nx_pad ~5888 (the
 # 128M-particle grid) the forces kernel's scoped VMEM with two slots per
 # slab reaches ~109 MiB — over the 100 MiB gate, and raising the gate to
-# 120 MiB compiles but FAULTS the device at runtime (measured).  The
-# second buffer slots cost ~12 MiB at that width; single-buffered the same
-# kernel fits the standard gate.
+# 120 MiB compiles but FAULTS the device at runtime (measured).  Above the
+# ceiling the fused kernel falls back to PARTIAL double-buffering ("xyr"):
+# only x/y/rho get a second slot and the cross-program prefetch; vx/vy and
+# the rebin-reference slabs are self-copied single-slot, their waits
+# deferred behind the EOS prep / the pair loop — ~7 of the extra ~12 MiB
+# back, most of the overlap kept (the two exposed copies have the EOS
+# write-backs to hide behind; the refs have the whole pair loop).
 _DBUF_MAX_LANES = 5120
 
 
-def _dbuf(grid) -> bool:
-    return (grid.n_row_blocks >= _DBUF_MIN_BLOCKS
-            and grid.nx_pad <= _DBUF_MAX_LANES)
+def _dbuf_density(grid) -> bool:
+    # the density kernel DMAs two fields only (~15 MB of two-slot scratch
+    # even at the 128M width) — no lane ceiling needed
+    return grid.n_row_blocks >= _DBUF_MIN_BLOCKS
+
+
+def _dbuf(grid):
+    """Fused forces-kernel DMA mode: False | True (full) | "xyr" (partial)."""
+    if grid.n_row_blocks < _DBUF_MIN_BLOCKS:
+        return False
+    return True if grid.nx_pad <= _DBUF_MAX_LANES else "xyr"
 
 # Below this many row blocks the verlet step runs the MONO kernel (density
 # + forces + integrate in ONE launch, halo-rho recomputed in-VMEM).
@@ -340,7 +352,37 @@ def _forces_integrate_kernel(pr, occ, x_hbm, y_hbm, vx_hbm, vy_hbm, rho_hbm,
         pltpu.make_async_copy(refy_hbm.at[pl.ds(row_start + 1, tb)],
                               rys.at[slot], sems.at[slot, 6]).start()
 
-    if dbuf:
+    if dbuf == "xyr":
+        # partial mode (wide grids): x/y/rho prefetched two-slot; vx/vy and
+        # refs self-copied single-slot (see _DBUF_MAX_LANES comment)
+        slot = jax.lax.rem(r, 2)
+        nslot = jax.lax.rem(r + 1, 2)
+
+        def start_xyr(rr, s):
+            row_start = (rr + 1) * tb - 1
+            for i, (hbm, buf) in enumerate(((x_hbm, xs), (y_hbm, ys),
+                                            (rho_hbm, ps))):
+                pltpu.make_async_copy(hbm.at[pl.ds(row_start, tb + 2)],
+                                      buf.at[s], sems.at[s, i]).start()
+
+        @pl.when(r == 0)
+        def _():
+            start_xyr(0, 0)
+
+        @pl.when(r + 1 < nb)
+        def _():
+            start_xyr(r + 1, nslot)
+
+        row_start = (r + 1) * tb - 1
+        pltpu.make_async_copy(vx_hbm.at[pl.ds(row_start, tb + 2)], vxs,
+                              sems.at[0, 3]).start()
+        pltpu.make_async_copy(vy_hbm.at[pl.ds(row_start, tb + 2)], vys,
+                              sems.at[0, 4]).start()
+        pltpu.make_async_copy(refx_hbm.at[pl.ds(row_start + 1, tb)], rxs,
+                              sems.at[0, 5]).start()
+        pltpu.make_async_copy(refy_hbm.at[pl.ds(row_start + 1, tb)], rys,
+                              sems.at[0, 6]).start()
+    elif dbuf:
         slot = jax.lax.rem(r, 2)
         nslot = jax.lax.rem(r + 1, 2)
 
@@ -355,17 +397,25 @@ def _forces_integrate_kernel(pr, occ, x_hbm, y_hbm, vx_hbm, vy_hbm, rho_hbm,
         slot = 0
         start_copies(r, 0)
 
-    # wait the 5 pair-loop slabs (descriptor src is size-only; the wait is
+    # wait the pair-loop slabs (descriptor src is size-only; the wait is
     # keyed by the semaphore)
-    for i, buf in enumerate((xs, ys, vxs, vys, ps)):
-        pltpu.make_async_copy(x_hbm.at[pl.ds(0, tb + 2)],
-                              buf.at[slot], sems.at[slot, i]).wait()
-
-    xs = xs.at[slot]
-    ys = ys.at[slot]
-    vxs = vxs.at[slot]
-    vys = vys.at[slot]
-    ps = ps.at[slot]
+    if dbuf == "xyr":
+        for i, buf in enumerate((xs, ys, ps)):
+            pltpu.make_async_copy(x_hbm.at[pl.ds(0, tb + 2)],
+                                  buf.at[slot], sems.at[slot, i]).wait()
+        xs = xs.at[slot]
+        ys = ys.at[slot]
+        ps = ps.at[slot]
+        # vxs/vys stay plain single-slot refs; waited after the EOS prep
+    else:
+        for i, buf in enumerate((xs, ys, vxs, vys, ps)):
+            pltpu.make_async_copy(x_hbm.at[pl.ds(0, tb + 2)],
+                                  buf.at[slot], sems.at[slot, i]).wait()
+        xs = xs.at[slot]
+        ys = ys.at[slot]
+        vxs = vxs.at[slot]
+        vys = vys.at[slot]
+        ps = ps.at[slot]
     # irs is single-slot (compute-only: fully rewritten below, never DMA'd)
 
     h = pr[0, 0]
@@ -387,6 +437,14 @@ def _forces_integrate_kernel(pr, occ, x_hbm, y_hbm, vx_hbm, vy_hbm, rho_hbm,
     rho_slab = ps[...]
     irs[...] = 1.0 / jnp.maximum(rho_slab, 1e-12)
     ps[...] = k * jnp.maximum(rho_slab - rho0, 0.0)
+
+    if dbuf == "xyr":
+        # single-slot velocity slabs: their copies were issued at program
+        # start and had the EOS write-backs to land behind
+        pltpu.make_async_copy(vx_hbm.at[pl.ds(0, tb + 2)], vxs,
+                              sems.at[0, 3]).wait()
+        pltpu.make_async_copy(vy_hbm.at[pl.ds(0, tb + 2)], vys,
+                              sems.at[0, 4]).wait()
 
     xi = _shift(xs[...], 0, tb)
     yi = _shift(ys[...], 0, tb)
@@ -461,11 +519,18 @@ def _forces_integrate_kernel(pr, occ, x_hbm, y_hbm, vx_hbm, vy_hbm, rho_hbm,
 
     # skin displacement of the NEW positions vs the rebin reference
     # (dead slots: x == xi == ref pattern FAR -> contribute 0 via mask)
-    for i, buf in enumerate((rxs, rys)):
-        pltpu.make_async_copy(refx_hbm.at[pl.ds(0, tb)],
-                              buf.at[slot], sems.at[slot, 5 + i]).wait()
-    drx = x - rxs.at[slot][...]
-    dry = y - rys.at[slot][...]
+    if dbuf == "xyr":
+        for i, buf in enumerate((rxs, rys)):
+            pltpu.make_async_copy(refx_hbm.at[pl.ds(0, tb)],
+                                  buf, sems.at[0, 5 + i]).wait()
+        drx = x - rxs[...]
+        dry = y - rys[...]
+    else:
+        for i, buf in enumerate((rxs, rys)):
+            pltpu.make_async_copy(refx_hbm.at[pl.ds(0, tb)],
+                                  buf.at[slot], sems.at[slot, 5 + i]).wait()
+        drx = x - rxs.at[slot][...]
+        dry = y - rys.at[slot][...]
     d2 = jnp.where(live, drx * drx + dry * dry, 0.0)
     if disp_lanes is not None:
         # sharded use: ghost-column lanes hold LIVE neighbour copies whose
@@ -688,7 +753,7 @@ def density_pallas(xd, yd, params: FluidParams, grid: GridSpec2D,
         interpret = _interpret_default()
     tb = grid.row_block
     nb = grid.n_row_blocks
-    dbuf = _dbuf(grid)
+    dbuf = _dbuf_density(grid)
     kernel = functools.partial(_density_kernel, tb=tb, nb=nb,
                                adaptive=adaptive, dbuf=dbuf)
     if occ is None:
@@ -788,12 +853,22 @@ def forces_integrate_pallas(xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd,
     dblock = pl.BlockSpec((1, 8, 128), lambda r: (r, 0, 0))
     # double-buffered: two slots per DMA'd slab (see kernel docstring) —
     # single-buffered when dbuf is off (halves scoped VMEM; how 128M fits);
+    # partial ("xyr") above _DBUF_MAX_LANES: two slots for x/y/rho only.
     # irs is compute-only (filled in-kernel, never async-copied) so one
     # slot suffices always — a (tb+2)-row slab of VMEM back in the budget
-    nslots = 2 if dbuf else 1
-    slab = pltpu.VMEM((nslots, tb + 2, grid.cap, grid.nx_pad), jnp.float32)
     slab1 = pltpu.VMEM((tb + 2, grid.cap, grid.nx_pad), jnp.float32)
-    ref = pltpu.VMEM((nslots, tb, grid.cap, grid.nx_pad), jnp.float32)
+    if dbuf == "xyr":
+        slab2 = pltpu.VMEM((2, tb + 2, grid.cap, grid.nx_pad), jnp.float32)
+        ref1 = pltpu.VMEM((tb, grid.cap, grid.nx_pad), jnp.float32)
+        scratch = [slab2, slab2, slab1, slab1, slab2, slab1, ref1, ref1,
+                   pltpu.SemaphoreType.DMA((2, 7))]
+    else:
+        nslots = 2 if dbuf else 1
+        slab = pltpu.VMEM((nslots, tb + 2, grid.cap, grid.nx_pad),
+                          jnp.float32)
+        ref = pltpu.VMEM((nslots, tb, grid.cap, grid.nx_pad), jnp.float32)
+        scratch = [slab] * 5 + [slab1] + [ref] * 2 \
+            + [pltpu.SemaphoreType.DMA((nslots, 7))]
     ox, oy, ovx, ovy, disp = pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -804,8 +879,7 @@ def forces_integrate_pallas(xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd,
         + [pl.BlockSpec(memory_space=pl.ANY)] * 7,
         out_specs=(block, block, block, block, dblock),
         out_shape=(out, out, out, out, dshape),
-        scratch_shapes=[slab] * 5 + [slab1] + [ref] * 2
-        + [pltpu.SemaphoreType.DMA((nslots, 7))],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
             dimension_semantics=("arbitrary",)),  # cross-program prefetch
