@@ -52,6 +52,11 @@ def main():
     ap.add_argument("--isolate-rebin", action="store_true",
                     help="also run max_age=1 variants to split the gap "
                     "into per-step base vs per-rebin cost")
+    ap.add_argument("--no-cond", action="store_true",
+                    help="TIMING-ONLY floors: build both steps with "
+                    "lax.cond patched to the false branch (no rebin ever) "
+                    "— isolates the per-step cost of the rebin cond's "
+                    "plane carry from the shard_map glue")
     args = ap.parse_args()
 
     side = int(math.isqrt(args.n))
@@ -64,11 +69,22 @@ def main():
     # flagship
     grid = verlet_solver.default_grid(params.h, -1.0, extent + 1.0,
                                       extent * 1.1 + 1.0, skin_factor=1.75)
-    fstep = verlet_solver.make_step(params, cfg, grid, n=n)
-    fsim = jax.jit(lambda s: verlet_solver.init_dense(s, grid))(state)
-    t, out = scan_time(fstep, fsim, args.iters)
+    real_cond = jax.lax.cond
+
+    def false_cond(pred, tf, ff, *ops):       # timing floor: never rebin
+        return ff(*ops)
+
+    if args.no_cond:
+        jax.lax.cond = false_cond
+    try:
+        fstep = verlet_solver.make_step(params, cfg, grid, n=n)
+        fsim = jax.jit(lambda s: verlet_solver.init_dense(s, grid))(state)
+        t, out = scan_time(fstep, fsim, args.iters)
+    finally:
+        jax.lax.cond = real_cond
     rb = int(out.rebin_count)
-    print(f"flagship            {t*1e3:8.3f} ms/step  rebins={rb - 1}")
+    print(f"flagship            {t*1e3:8.3f} ms/step  rebins={rb - 1}"
+          + ("  [no-cond floor]" if args.no_cond else ""))
 
     if args.isolate_rebin:
         # max_age=1 forces the rebin branch EVERY step; with the standard
@@ -107,11 +123,13 @@ def main():
         "  -disp_lanes mask ": dict(fip=fip_no_lanes),
         "  -both            ": dict(psum=no_psum, fip=fip_no_lanes),
     }
-    if args.isolate_rebin:
+    if args.isolate_rebin or args.no_cond:
         variants = {"sharded D=1        ": dict()}
     for name, kw in variants.items():
         jax.lax.psum = kw.get("psum", real_psum)
         pallas_solver.forces_integrate_pallas = kw.get("fip", real_fip)
+        if args.no_cond:
+            jax.lax.cond = false_cond
         try:
             init_fn, step_fn = shard_verlet.make_sharded_verlet_step(
                 params, cfg, spec, mesh, fused=True,
@@ -121,6 +139,7 @@ def main():
         finally:
             jax.lax.psum = real_psum
             pallas_solver.forces_integrate_pallas = real_fip
+            jax.lax.cond = real_cond
         srb = int(out.rebin_count.sum()) - 1
         print(f"{name}{t*1e3:8.3f} ms/step  rebins={srb}")
         if args.isolate_rebin:
