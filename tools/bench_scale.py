@@ -41,6 +41,11 @@ def main() -> int:
     ap.add_argument("--chunks", type=int, default=16)
     ap.add_argument("--skin", type=float, default=1.75)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--dbuf", choices=["auto", "off", "xyr"],
+                    default="auto",
+                    help="override the fused kernel's DMA mode for A/B at "
+                    "the wide grids (auto = _dbuf(grid); off forces "
+                    "single-buffered; xyr forces partial double-buffering)")
     ap.add_argument("--no-recovery", action="store_true",
                     help="counted-loss overflow contract (recovery=False): "
                     "the recovery pass keeps pre-rebin planes alive through "
@@ -58,6 +63,14 @@ def main() -> int:
     grid = verlet_solver.default_grid(0.045, -1.0, extent + 1.0,
                                       y_max=extent * 1.1 + 1.0,
                                       skin_factor=args.skin)
+
+    from bevy_gpu_fluid_tpu.models import pallas_solver
+    if args.dbuf == "off":
+        pallas_solver._DBUF_MIN_BLOCKS = 10 ** 9
+    elif args.dbuf == "xyr":
+        pallas_solver._DBUF_MAX_LANES = 0
+    print(f"# dbuf mode: density={pallas_solver._dbuf_density(grid)} "
+          f"forces={pallas_solver._dbuf(grid)}", file=sys.stderr)
     print(f"# n={n} grid {grid.ny_pad}x{grid.cap}x{grid.nx_pad} "
           f"(~{8 * grid.ny_pad * grid.cap * grid.nx_pad * 4 / 2**30:.1f} GiB "
           f"resident dense)", file=sys.stderr)
@@ -88,7 +101,9 @@ def main() -> int:
     print(f"# init+compile={t_init:.1f}s warmup={t_warm:.1f}s "
           f"{ms:.1f} ms/step = {rate / 1e6:.1f}M particle-steps/s "
           f"rebins={int(sess.sim.rebin_count)} overflow={sess.overflow} "
-          f"suspended={sess.suspended} finite={finite}", file=sys.stderr)
+          f"suspended={sess.suspended} finite={finite} "
+          f"rebin_mode={'planar' if sess.planar_rebin else 'fused'}",
+          file=sys.stderr)
     print(f'{{"metric": "scale_psteps_per_sec_{n // 1_000_000}M", '
           f'"value": {rate:.1f}, "unit": "particle-steps/s", '
           f'"ok": {str(sess.overflow == 0 and finite).lower()}}}')
