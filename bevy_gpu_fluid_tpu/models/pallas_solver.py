@@ -90,7 +90,26 @@ _DBUF_MIN_BLOCKS = 20
 # deferred behind the EOS prep / the pair loop — ~7 of the extra ~12 MiB
 # back, most of the overlap kept (the two exposed copies have the EOS
 # write-backs to hide behind; the refs have the whole pair loop).
-_DBUF_MAX_LANES = 5120
+#
+# Every byte of the kernel's scoped VMEM scales linearly with nx_pad —
+# the DMA slabs exactly (the shape formulas below), the compiler's
+# pair-loop temps + auto-buffered output blocks at ~14.9 KiB/lane
+# (calibrated from the compiler's own scoped-VMEM report at nx_pad 5888:
+# "xyr" = 102.76 MiB, full ~109 MiB; the model reproduces both, plus the
+# r3 observations that full fits at 5120 and single-buffered just fits at
+# 6016).  The chooser picks the widest overlap that fits under the gate
+# minus margin: full -> "xyr" -> single-buffered.  Past ~6016 lanes even
+# single-buffered crosses the gate (the 112M grid was the measured edge)
+# — a lane-blocked kernel grid is the lever beyond that, not a DMA mode.
+_VMEM_TEMPS_B_PER_LANE = 14905
+_VMEM_SCRATCH_B_PER_LANE = {True: 4544, "xyr": 3392, False: 2432}
+_VMEM_BUDGET_B = int(99.7 * 2 ** 20)
+_DBUF_FORCE = None  # bench/test override: None | False | True | "xyr"
+
+
+def _forces_vmem_est(nx_pad: int, mode) -> int:
+    """Scoped-VMEM estimate (bytes) for the fused forces kernel."""
+    return nx_pad * (_VMEM_TEMPS_B_PER_LANE + _VMEM_SCRATCH_B_PER_LANE[mode])
 
 
 def _dbuf_density(grid) -> bool:
@@ -101,9 +120,14 @@ def _dbuf_density(grid) -> bool:
 
 def _dbuf(grid):
     """Fused forces-kernel DMA mode: False | True (full) | "xyr" (partial)."""
+    if _DBUF_FORCE is not None:
+        return _DBUF_FORCE
     if grid.n_row_blocks < _DBUF_MIN_BLOCKS:
         return False
-    return True if grid.nx_pad <= _DBUF_MAX_LANES else "xyr"
+    for mode in (True, "xyr", False):
+        if _forces_vmem_est(grid.nx_pad, mode) <= _VMEM_BUDGET_B:
+            return mode
+    return False  # over the width wall: let the compiler report precisely
 
 # Below this many row blocks the verlet step runs the MONO kernel (density
 # + forces + integrate in ONE launch, halo-rho recomputed in-VMEM).

@@ -26,9 +26,8 @@ VGRID = verlet_solver.default_grid(0.045, -1.0, 2.5, y_max=3.0,
                                    cap=8, skin_factor=1.5)
 
 
-def _run_fused(monkeypatch, min_blocks, max_lanes):
-    monkeypatch.setattr(pallas_solver, "_DBUF_MIN_BLOCKS", min_blocks)
-    monkeypatch.setattr(pallas_solver, "_DBUF_MAX_LANES", max_lanes)
+def _run_fused(monkeypatch, force):
+    monkeypatch.setattr(pallas_solver, "_DBUF_FORCE", force)
     state = init_grid(24, 24, 0.04)
     sim = verlet_solver.init_dense(state, VGRID)
     occ = reslot_ops.block_kmax3(sim.xd, VGRID)
@@ -41,13 +40,12 @@ def _run_fused(monkeypatch, min_blocks, max_lanes):
 
 
 def test_dbuf_modes_bitwise_identical(monkeypatch):
-    # force each mode on the same (small) grid: single-buffered is the
-    # uncontested baseline; full dbuf needs min_blocks <= nb; xyr
-    # additionally needs max_lanes < nx_pad
+    # force each mode on the same (small) grid via the _DBUF_FORCE knob:
+    # single-buffered is the uncontested baseline
     assert pallas_solver._dbuf(VGRID) is False          # natural default
-    single = _run_fused(monkeypatch, 10**9, 10**9)
-    full = _run_fused(monkeypatch, 0, 10**9)
-    xyr = _run_fused(monkeypatch, 0, 0)
+    single = _run_fused(monkeypatch, False)
+    full = _run_fused(monkeypatch, True)
+    xyr = _run_fused(monkeypatch, "xyr")
     for got, name in ((full, "full-dbuf"), (xyr, "xyr")):
         for a, b, field in zip(got, single, ("x", "y", "vx", "vy", "disp2")):
             np.testing.assert_array_equal(
@@ -56,21 +54,27 @@ def test_dbuf_modes_bitwise_identical(monkeypatch):
 
 
 def test_dbuf_mode_selection():
-    # the static chooser: small grids single-buffer, deep grids full-dbuf,
-    # deep AND wide grids partial-dbuf; density never width-gates
+    # the static chooser: small grids single-buffer, deep grids pick the
+    # widest DMA overlap whose scoped-VMEM estimate fits under the 100 MiB
+    # gate (full -> xyr -> single); density never width-gates
     import dataclasses
 
     deep = dataclasses.replace(VGRID)  # copy to probe attributes
     assert pallas_solver._dbuf_density(VGRID) is False
     nb_ok = pallas_solver._DBUF_MIN_BLOCKS
-    wide = pallas_solver._DBUF_MAX_LANES
 
     class G:  # minimal grid stand-in for the chooser
         def __init__(self, nb, nx):
             self.n_row_blocks, self.nx_pad = nb, nx
 
     assert pallas_solver._dbuf(G(nb_ok - 1, 128)) is False
-    assert pallas_solver._dbuf(G(nb_ok, wide)) is True
-    assert pallas_solver._dbuf(G(nb_ok, wide + 128)) == "xyr"
-    assert pallas_solver._dbuf_density(G(nb_ok, wide + 128)) is True
+    # measured anchor points of the VMEM model (see pallas_solver):
+    assert pallas_solver._dbuf(G(nb_ok, 5120)) is True      # full fits (r3)
+    assert pallas_solver._dbuf(G(nb_ok, 5632)) == "xyr"     # 96M/120M grids
+    assert pallas_solver._dbuf(G(nb_ok, 5888)) is False     # 128M: xyr was
+    # 102.76 MiB > the 100 MiB gate (compiler-measured) -> single-buffered
+    assert pallas_solver._dbuf_density(G(nb_ok, 5888)) is True
+    # the estimate reproduces the compiler's scoped-VMEM report at 5888
+    assert abs(pallas_solver._forces_vmem_est(5888, "xyr")
+               - 102.76 * 2**20) < 0.3 * 2**20
     assert deep.cap == 8

@@ -41,11 +41,15 @@ def main() -> int:
     ap.add_argument("--chunks", type=int, default=16)
     ap.add_argument("--skin", type=float, default=1.75)
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--dbuf", choices=["auto", "off", "xyr"],
+    ap.add_argument("--planar", choices=["auto", "on", "off"],
+                    default="auto",
+                    help="force the plane-at-a-time rebin on/off (auto = "
+                    "planar_rebin_default(grid): on near the HBM ceiling)")
+    ap.add_argument("--dbuf", choices=["auto", "off", "xyr", "full"],
                     default="auto",
                     help="override the fused kernel's DMA mode for A/B at "
                     "the wide grids (auto = _dbuf(grid); off forces "
-                    "single-buffered; xyr forces partial double-buffering)")
+                    "single-buffered; xyr/full force those modes)")
     ap.add_argument("--no-recovery", action="store_true",
                     help="counted-loss overflow contract (recovery=False): "
                     "the recovery pass keeps pre-rebin planes alive through "
@@ -65,10 +69,9 @@ def main() -> int:
                                       skin_factor=args.skin)
 
     from bevy_gpu_fluid_tpu.models import pallas_solver
-    if args.dbuf == "off":
-        pallas_solver._DBUF_MIN_BLOCKS = 10 ** 9
-    elif args.dbuf == "xyr":
-        pallas_solver._DBUF_MAX_LANES = 0
+    if args.dbuf != "auto":
+        pallas_solver._DBUF_FORCE = {"off": False, "xyr": "xyr",
+                                     "full": True}[args.dbuf]
     print(f"# dbuf mode: density={pallas_solver._dbuf_density(grid)} "
           f"forces={pallas_solver._dbuf(grid)}", file=sys.stderr)
     print(f"# n={n} grid {grid.ny_pad}x{grid.cap}x{grid.nx_pad} "
@@ -77,9 +80,11 @@ def main() -> int:
 
     t0 = time.time()
     state = bgf.init_grid(side, side, 0.04)
+    planar = {"auto": None, "on": True, "off": False}[args.planar]
     sess = verlet_solver.Session(state, params, cfg, grid,
                                  init_chunks=args.chunks, donate=True,
-                                 recovery=not args.no_recovery)
+                                 recovery=not args.no_recovery,
+                                 planar_rebin=planar)
     del state                       # free the [N] particle planes
     jax.block_until_ready(sess.sim.xd)
     t_init = time.time() - t0
