@@ -114,7 +114,9 @@ def _forces_vmem_est(nx_pad: int, mode) -> int:
 
 def _dbuf_density(grid) -> bool:
     # the density kernel DMAs two fields only (~15 MB of two-slot scratch
-    # even at the 128M width) — no lane ceiling needed
+    # even at the 128M width); _DBUF_FORCE maps "xyr"/True -> True
+    if _DBUF_FORCE is not None:
+        return bool(_DBUF_FORCE)
     return grid.n_row_blocks >= _DBUF_MIN_BLOCKS
 
 

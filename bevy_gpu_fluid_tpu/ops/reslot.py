@@ -523,19 +523,22 @@ def taken_mask(code: jax.Array, cap: int) -> jax.Array:
                      constant_values=_CODE_EMPTY)
     kiota = jnp.arange(cap, dtype=jnp.int32)[None, :, None]
 
-    def _shift_any(s, taken):
-        # win[rs, k, cs] = code[rs + s//3 - 1, k, cs + s%3 - 1]: the code of
-        # target slot (rs+dy, k, cs+dx).  It routed source (rs, kj, cs) iff
-        # it equals _code_of(kj, -dx... sign check: code enc'd (dy, dx) is
-        # the offset FROM target TO source, so target (rs+dy, cs+dx) points
-        # back at source rs, cs via enc offset (-dy, -dx) = (1 - s//3,
-        # 1 - s%3), i.e. enc = kj*9 + (2 - s%3)*3 + (2 - s//3).
-        win = jax.lax.dynamic_slice(padded, (s // 3, 0, s % 3), (R, cap, C))
+    def _body(i, taken):
+        # iterate (shift s, target slot k) pairs; win[rs, 0, cs] =
+        # code[rs + s//3 - 1, k, cs + s%3 - 1]: the code of target slot
+        # (rs+dy, k, cs+dx).  It routed source (rs, kj, cs) iff it equals
+        # _code_of(kj, -dx, -dy) — the code encodes the offset FROM target
+        # TO source, so enc = kj*9 + (2 - s%3)*3 + (2 - s//3).  Slicing ONE
+        # target slot per iteration keeps every temp plane-sized ([R,cap,C]
+        # bool, [R,1,C] int32) — the 4D [R,cap,cap,C] broadcast-any this
+        # replaces was a ~2.2 GiB static conditional-arena allocation at
+        # 128M, enough to crowd the rebin dispatch out of HBM.
+        s, k = i // cap, i % cap
+        win = jax.lax.dynamic_slice(padded, (s // 3, k, s % 3), (R, 1, C))
         enc = kiota * 9 + (2 - s % 3) * 3 + (2 - s // 3)
-        return taken | jnp.any(
-            enc[:, :, None, :] == win[:, None, :, :], axis=2)
+        return taken | (win == enc)
 
-    return jax.lax.fori_loop(0, 9, _shift_any,
+    return jax.lax.fori_loop(0, 9 * cap, _body,
                              jnp.zeros(code.shape, bool))
 
 

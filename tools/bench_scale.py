@@ -50,6 +50,12 @@ def main() -> int:
                     help="override the fused kernel's DMA mode for A/B at "
                     "the wide grids (auto = _dbuf(grid); off forces "
                     "single-buffered; xyr/full force those modes)")
+    ap.add_argument("--bisect", type=int, default=0, metavar="K",
+                    help="fault-localization mode: after warmup, run the "
+                    "measured steps in chunks of K, printing step index, "
+                    "cumulative rebins and overflow after each chunk — the "
+                    "last line before a device fault brackets it to a "
+                    "K-step window and says whether overflow had started")
     ap.add_argument("--no-recovery", action="store_true",
                     help="counted-loss overflow contract (recovery=False): "
                     "the recovery pass keeps pre-rebin planes alive through "
@@ -90,9 +96,26 @@ def main() -> int:
     t_init = time.time() - t0
 
     t0 = time.time()
-    sess.run(args.warmup_steps)
-    jax.block_until_ready(sess.sim.xd)
+    if args.warmup_steps:
+        sess.run(args.warmup_steps)
+        jax.block_until_ready(sess.sim.xd)
     t_warm = time.time() - t0
+
+    if args.bisect:
+        done = 0
+        while done < args.steps * args.reps:
+            k = min(args.bisect, args.steps * args.reps - done)
+            t0 = time.time()
+            sess.run(k)
+            jax.block_until_ready(sess.sim.xd)
+            done += k
+            print(f"# step {args.warmup_steps + done}: "
+                  f"rebins={int(sess.sim.rebin_count)} "
+                  f"overflow={sess.overflow} "
+                  f"({(time.time() - t0) / k * 1e3:.1f} ms/step)",
+                  file=sys.stderr, flush=True)
+        print('{"metric": "bisect", "ok": true}')
+        return 0
 
     best = float("inf")
     for _ in range(args.reps):
