@@ -855,9 +855,24 @@ class Session:
         self._extract = jax.jit(
             lambda sim: extract_fields(sim, grid, params, n))
 
-    def run(self, n_steps: int) -> None:
-        """Advance n_steps on-device (one compiled dispatch)."""
-        self.sim = self._run_k(self.sim, n_steps)
+    def run(self, n_steps: int, chunk: int | None = None) -> None:
+        """Advance n_steps on-device (one compiled dispatch).
+
+        ``chunk=K`` splits the work into ceil(n/K) sequential K-step
+        dispatches (one compiled program, reused).  Use it when a single
+        dispatch's wall time would exceed the transport's RPC deadline:
+        tunneled rigs fault long dispatches with an UNAVAILABLE device
+        error around the ~60 s mark (measured at 128M particles: 300-step
+        ≈60 s dispatches fault, the same program in 150-step ≈30 s chunks
+        runs clean).  Direct-attached chips don't need it."""
+        if chunk is None or chunk >= n_steps:
+            self.sim = self._run_k(self.sim, n_steps)
+            return
+        done = 0
+        while done < n_steps:
+            k = min(chunk, n_steps - done)
+            self.sim = self._run_k(self.sim, k)
+            done += k
 
     def run_frame(self, substeps: int = 16, px_per_cell: int = 2,
                   mode: str = "density"):

@@ -561,7 +561,10 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
         # read, without re-reducing the dense arrays
         real = lambda a: jax.lax.slice_in_dim(a, 1, nxl + 1, axis=2)
         need = (disp2 > skin_half * skin_half) | (age >= max_age)
-        need = jax.lax.psum(need.astype(jnp.int32), AXIS) > 0  # uniform
+        if D > 1:   # uniform decision; at D=1 the local one already is,
+            # and a collective-dependent branch predicate serializes the
+            # dispatch stream against the all-reduce for nothing
+            need = jax.lax.psum(need.astype(jnp.int32), AXIS) > 0
 
         def do_rebin(op):
             (xd, yd, vxd, vyd, idx_d, occ, age, overflow, lost, dropped,

@@ -32,6 +32,21 @@ def test_session_matches_multi_step():
     assert int(got.step) == 50
 
 
+def test_session_run_chunked_matches_single_dispatch():
+    """run(n, chunk=K) — the long-dispatch splitter for transports with an
+    RPC deadline (measured ~60 s on the tunnel rig) — is bitwise the same
+    trajectory as one n-step dispatch."""
+    state = init_grid(20, 20, 0.04)
+    a = verlet_solver.Session(state, PARAMS, CFG, GRID)
+    a.run(48)
+    b = verlet_solver.Session(state, PARAMS, CFG, GRID)
+    b.run(48, chunk=20)   # 20+20+8
+    ga, gb = a.state(), b.state()
+    assert int(a.sim.rebin_count) == int(b.sim.rebin_count)
+    np.testing.assert_array_equal(np.asarray(ga.x), np.asarray(gb.x))
+    np.testing.assert_array_equal(np.asarray(ga.vx), np.asarray(gb.vx))
+
+
 def test_session_run_frame():
     state = init_grid(16, 16, 0.04)
     sess = verlet_solver.Session(state, PARAMS, CFG, GRID)

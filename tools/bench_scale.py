@@ -50,12 +50,13 @@ def main() -> int:
                     help="override the fused kernel's DMA mode for A/B at "
                     "the wide grids (auto = _dbuf(grid); off forces "
                     "single-buffered; xyr/full force those modes)")
-    ap.add_argument("--bisect", type=int, default=0, metavar="K",
+    ap.add_argument("--bisect", type=str, default="", metavar="K[,K2,...]",
                     help="fault-localization mode: after warmup, run the "
-                    "measured steps in chunks of K, printing step index, "
-                    "cumulative rebins and overflow after each chunk — the "
-                    "last line before a device fault brackets it to a "
-                    "K-step window and says whether overflow had started")
+                    "measured steps in chunks of K (a comma list runs "
+                    "exactly those chunk sizes in order), printing step "
+                    "index, cumulative rebins and overflow after each "
+                    "chunk — the last line before a device fault brackets "
+                    "it to one chunk and says whether overflow had started")
     ap.add_argument("--no-recovery", action="store_true",
                     help="counted-loss overflow contract (recovery=False): "
                     "the recovery pass keeps pre-rebin planes alive through "
@@ -102,14 +103,22 @@ def main() -> int:
     t_warm = time.time() - t0
 
     if args.bisect:
+        sizes = [int(s) for s in args.bisect.split(",")]
+        if len(sizes) == 1:
+            total = args.steps * args.reps
+            chunks, done = [], 0
+            while done < total:
+                chunks.append(min(sizes[0], total - done))
+                done += chunks[-1]
+        else:
+            chunks = sizes
         done = 0
-        while done < args.steps * args.reps:
-            k = min(args.bisect, args.steps * args.reps - done)
+        for k in chunks:
             t0 = time.time()
             sess.run(k)
             jax.block_until_ready(sess.sim.xd)
             done += k
-            print(f"# step {args.warmup_steps + done}: "
+            print(f"# step {args.warmup_steps + done}: chunk={k} "
                   f"rebins={int(sess.sim.rebin_count)} "
                   f"overflow={sess.overflow} "
                   f"({(time.time() - t0) / k * 1e3:.1f} ms/step)",
