@@ -101,15 +101,48 @@ _DBUF_MIN_BLOCKS = 20
 # minus margin: full -> "xyr" -> single-buffered.  Past ~6016 lanes even
 # single-buffered crosses the gate (the 112M grid was the measured edge)
 # — a lane-blocked kernel grid is the lever beyond that, not a DMA mode.
-_VMEM_TEMPS_B_PER_LANE = 14905
-_VMEM_SCRATCH_B_PER_LANE = {True: 4544, "xyr": 3392, False: 2432}
+_VMEM_TEMPS_B_PER_LANE_ROW = 14905 / 8  # compiler temps scale with tb (see
+# tools/probe_vmem.py for the calibration harness; the 14905 B/lane point
+# is the tb=8 nx_pad=5888 compiler report)
 _VMEM_BUDGET_B = int(99.7 * 2 ** 20)
 _DBUF_FORCE = None  # bench/test override: None | False | True | "xyr"
 
+# Past the tb=8 single-buffer width edge (nx_pad ~6016, the 136M grid) the
+# grid builder drops to 4-row blocks: scoped VMEM scales ~linearly with
+# tb (the DMA slabs exactly — formulas below — and the compiler's
+# pair-loop temps hold [tb, cap, nx] values), so halving tb roughly
+# halves bytes/lane and moves the width wall out ~2x, at the cost of 2x
+# the per-program fixed work and (tb+2)/tb=1.5x the halo-DMA bytes.  Only
+# grids that cannot run otherwise pay it (default_grid auto-picks).
+_TB_WIDE = 4
 
-def _forces_vmem_est(nx_pad: int, mode) -> int:
+
+def _scratch_b_per_lane(mode, tb: int, cap: int = 8) -> int:
+    """Exact DMA-scratch bytes/lane of the fused forces kernel: 5 field
+    slabs of (tb+2) rows (+irs, always 1-slot), 2 ref slabs of tb rows;
+    two slots per prefetched slab in full/"xyr" modes.  Reproduces the
+    r4-calibrated constants at tb=8: full 4544, xyr 3392, off 2432."""
+    w = 4 * cap
+    if mode is True:
+        return w * (11 * (tb + 2) + 4 * tb)
+    if mode == "xyr":
+        return w * (9 * (tb + 2) + 2 * tb)
+    return w * (6 * (tb + 2) + 2 * tb)
+
+
+def _forces_vmem_est(nx_pad: int, mode, tb: int = 8) -> int:
     """Scoped-VMEM estimate (bytes) for the fused forces kernel."""
-    return nx_pad * (_VMEM_TEMPS_B_PER_LANE + _VMEM_SCRATCH_B_PER_LANE[mode])
+    temps = int(_VMEM_TEMPS_B_PER_LANE_ROW * tb)
+    return nx_pad * (temps + _scratch_b_per_lane(mode, tb))
+
+
+def pick_row_block(nx_pad: int) -> int:
+    """Row-block height for a grid of this width: 8 wherever the fused
+    kernel fits single-buffered (everything measured through 136M), else
+    the wide-grid 4-row blocks."""
+    if _forces_vmem_est(nx_pad, False, 8) <= _VMEM_BUDGET_B:
+        return 8
+    return _TB_WIDE
 
 
 def _dbuf_density(grid) -> bool:
@@ -127,7 +160,8 @@ def _dbuf(grid):
     if grid.n_row_blocks < _DBUF_MIN_BLOCKS:
         return False
     for mode in (True, "xyr", False):
-        if _forces_vmem_est(grid.nx_pad, mode) <= _VMEM_BUDGET_B:
+        if _forces_vmem_est(grid.nx_pad, mode,
+                            grid.row_block) <= _VMEM_BUDGET_B:
             return mode
     return False  # over the width wall: let the compiler report precisely
 

@@ -714,10 +714,20 @@ def planar_rebin_default(grid: GridSpec2D) -> bool:
 
 def default_grid(params_h: float, x_min: float, x_max: float, y_max: float,
                  cap: int = 8, skin_factor: float = 1.5) -> GridSpec2D:
-    """Binning grid with a Verlet skin: cells of skin_factor*h."""
-    return GridSpec2D.from_bounds(h=params_h * skin_factor, x_min=x_min,
-                                  x_max=x_max, y_min=0.0, y_max=y_max,
-                                  cap=cap)
+    """Binning grid with a Verlet skin: cells of skin_factor*h.
+
+    Past the tb=8 single-buffer width edge (nx_pad ~6016, the 136M grid)
+    the fused kernel's scoped VMEM crosses the 100 MiB gate at any DMA
+    mode, so the grid drops to 4-row blocks there (bytes/lane scale ~tb;
+    pallas_solver.pick_row_block)."""
+    import dataclasses
+
+    from . import pallas_solver
+
+    g = GridSpec2D.from_bounds(h=params_h * skin_factor, x_min=x_min,
+                               x_max=x_max, y_min=0.0, y_max=y_max, cap=cap)
+    tb = pallas_solver.pick_row_block(g.nx_pad)
+    return g if tb == g.row_block else dataclasses.replace(g, row_block=tb)
 
 
 def multi_step(state: FluidState, params: FluidParams, cfg: IntegrateConfig,

@@ -64,8 +64,8 @@ def test_dbuf_mode_selection():
     nb_ok = pallas_solver._DBUF_MIN_BLOCKS
 
     class G:  # minimal grid stand-in for the chooser
-        def __init__(self, nb, nx):
-            self.n_row_blocks, self.nx_pad = nb, nx
+        def __init__(self, nb, nx, tb=8):
+            self.n_row_blocks, self.nx_pad, self.row_block = nb, nx, tb
 
     assert pallas_solver._dbuf(G(nb_ok - 1, 128)) is False
     # measured anchor points of the VMEM model (see pallas_solver):
@@ -78,3 +78,44 @@ def test_dbuf_mode_selection():
     assert abs(pallas_solver._forces_vmem_est(5888, "xyr")
                - 102.76 * 2**20) < 0.3 * 2**20
     assert deep.cap == 8
+    # the exact scratch formulas reproduce the r4-calibrated tb=8 constants
+    assert pallas_solver._scratch_b_per_lane(True, 8) == 4544
+    assert pallas_solver._scratch_b_per_lane("xyr", 8) == 3392
+    assert pallas_solver._scratch_b_per_lane(False, 8) == 2432
+    # width-adaptive row blocks: tb=8 through the proven 136M edge
+    # (nx_pad 6016), 4-row blocks past it
+    assert pallas_solver.pick_row_block(5888) == 8
+    assert pallas_solver.pick_row_block(6016) == 8
+    assert pallas_solver.pick_row_block(6144) == pallas_solver._TB_WIDE
+    assert pallas_solver.pick_row_block(6528) == pallas_solver._TB_WIDE
+    # at tb=4 the model says the 160M width (nx_pad ~6528) fits even fully
+    # double-buffered under the gate
+    assert pallas_solver._dbuf(G(nb_ok, 6528, tb=4)) is True
+
+
+def test_tb4_matches_tb8(monkeypatch):
+    """4-row blocks (the >6016-lane wide-grid mode) are bitwise the same
+    trajectory as the default 8-row blocks: tb only changes how rows are
+    tiled onto programs, never the per-cell pair order.  Mono is forced
+    off — at this scene's size tb=8 would pick the mono kernel (a
+    DIFFERENT, ulp-pinned-not-bitwise path) while tb=4 wouldn't, and the
+    wide grids this lever targets never run mono anyway."""
+    import dataclasses
+
+    monkeypatch.setattr(pallas_solver, "_MONO_MAX_BLOCKS", 0)
+    state = init_grid(24, 24, 0.04)
+    g8 = VGRID
+    g4 = dataclasses.replace(VGRID, row_block=4)
+    assert g8.row_block == 8 and g4.ny_pad != g8.ny_pad
+    a = verlet_solver.Session(state, PARAMS, CFG, g8)
+    b = verlet_solver.Session(state, PARAMS, CFG, g4)
+    a.run(30)
+    b.run(30)
+    assert int(a.sim.rebin_count) >= 1   # at least one rebin covered
+    assert int(a.sim.rebin_count) == int(b.sim.rebin_count)
+    ga, gb = a.state(), b.state()
+    for f in ("x", "y", "vx", "vy"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ga, f)), np.asarray(getattr(gb, f)),
+            err_msg=f"tb=4 {f} != tb=8")
+    assert a.overflow == 0 and b.overflow == 0
