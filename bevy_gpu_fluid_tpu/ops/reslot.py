@@ -169,6 +169,37 @@ def _copy_slab(hbm_ref, scratch_ref, sem, row_start, rows):
         hbm_ref.at[pl.ds(row_start, rows)], scratch_ref, sem)
 
 
+def _cnt_rows(tb: int) -> int:
+    """Sublane height of the per-cell count output block.  The count plane
+    is 2D, so the block's ROW dim (not cap) sits in Mosaic's sublane slot
+    and must be divisible by 8 — a (tb, nx_pad) block faults the lowering
+    at tb=4 (the >6016-lane wide-grid row blocks).  Counts are therefore
+    emitted as [n_row_blocks, _cnt_rows(tb), nx_pad] (block = the full
+    last-two dims, legal for any tb) and re-laid to [ny_pad, nx_pad] on
+    the host side by _cnt_plane."""
+    return max(8, tb)
+
+
+def _emit_cnt(cnt_ref, cnt, tb: int):
+    """Store the (tb, 1, nx_pad) running count into the padded
+    (1, _cnt_rows, nx_pad) output block."""
+    rows = cnt[:, 0, :]
+    tbs = cnt_ref.shape[1]
+    if tbs > tb:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((tbs - tb, rows.shape[1]), rows.dtype)], axis=0)
+    cnt_ref[...] = rows[None]
+
+
+def _cnt_plane(cnt3, grid: GridSpec2D, ny_pad: int):
+    """[n_row_blocks, _cnt_rows, nx_pad] -> [ny_pad, nx_pad] with zeroed
+    ghost row blocks (the grid only writes interior blocks)."""
+    tb = grid.row_block
+    interior = cnt3[:, :tb, :].reshape(-1, grid.nx_pad)
+    return jnp.zeros((ny_pad, grid.nx_pad), cnt3.dtype).at[
+        tb:tb + interior.shape[0]].set(interior)
+
+
 def _reslot_kernel(pr, occ, x_hbm, y_hbm, vx_hbm, vy_hbm, i_hbm,
                    ox_ref, oy_ref, ovx_ref, ovy_ref, oi_ref, cnt_ref,
                    xs, ys, vxs, vys, is_, sems, *, tb, grid: GridSpec2D,
@@ -252,7 +283,7 @@ def _reslot_kernel(pr, occ, x_hbm, y_hbm, vx_hbm, vy_hbm, i_hbm,
         return cnt
     cnt = jax.lax.fori_loop(0, kmax, body, cnt)
 
-    cnt_ref[...] = cnt[:, 0, :]
+    _emit_cnt(cnt_ref, cnt, tb)
 
 
 def reslot_pallas(xd, yd, vxd, vyd, idx_d, grid: GridSpec2D,
@@ -270,9 +301,11 @@ def reslot_pallas(xd, yd, vxd, vyd, idx_d, grid: GridSpec2D,
                                clip_lo=clip_lo, clip_hi=clip_hi)
     fshape = jax.ShapeDtypeStruct(xd.shape, jnp.float32)
     ishape = jax.ShapeDtypeStruct(xd.shape, jnp.int32)
-    cshape = jax.ShapeDtypeStruct((xd.shape[0], xd.shape[2]), jnp.int32)
+    cshape = jax.ShapeDtypeStruct(
+        (grid.n_row_blocks, _cnt_rows(tb), grid.nx_pad), jnp.int32)
     block = pl.BlockSpec((tb, grid.cap, grid.nx_pad), lambda r: (r + 1, 0, 0))
-    cblock = pl.BlockSpec((tb, grid.nx_pad), lambda r: (r + 1, 0))
+    cblock = pl.BlockSpec((1, _cnt_rows(tb), grid.nx_pad),
+                          lambda r: (r, 0, 0))
     slab_f = pltpu.VMEM((tb + 2, grid.cap, grid.nx_pad), jnp.float32)
     slab_i = pltpu.VMEM((tb + 2, grid.cap, grid.nx_pad), jnp.int32)
     params = jnp.stack([
@@ -307,7 +340,7 @@ def reslot_pallas(xd, yd, vxd, vyd, idx_d, grid: GridSpec2D,
     def fill(a, v):
         return a.at[:tb].set(v).at[-tb:].set(v)
     return (fill(ox, FAR), fill(oy, FAR), fill(ovx, 0.0), fill(ovy, 0.0),
-            fill(oi, -1), fill(cnt, 0))
+            fill(oi, -1), _cnt_plane(cnt, grid, xd.shape[0]))
 
 
 # ---------------------------------------------------------------------------
@@ -403,7 +436,7 @@ def _select_kernel(pr, occ, x_hbm, y_hbm, code_ref, cnt_ref,
                 cnt = cnt + match.astype(jnp.int32)
         return cnt
     cnt = jax.lax.fori_loop(0, kmax, body, cnt)
-    cnt_ref[...] = cnt[:, 0, :]
+    _emit_cnt(cnt_ref, cnt, tb)
 
 
 def select_pallas(xd, yd, grid: GridSpec2D, interpret: bool | None = None,
@@ -422,9 +455,11 @@ def select_pallas(xd, yd, grid: GridSpec2D, interpret: bool | None = None,
     kernel = functools.partial(_select_kernel, tb=tb, grid=grid,
                                clip_lo=clip_lo, clip_hi=clip_hi)
     ishape = jax.ShapeDtypeStruct(xd.shape, jnp.int32)
-    cshape = jax.ShapeDtypeStruct((xd.shape[0], xd.shape[2]), jnp.int32)
+    cshape = jax.ShapeDtypeStruct(
+        (grid.n_row_blocks, _cnt_rows(tb), grid.nx_pad), jnp.int32)
     block = pl.BlockSpec((tb, grid.cap, grid.nx_pad), lambda r: (r + 1, 0, 0))
-    cblock = pl.BlockSpec((tb, grid.nx_pad), lambda r: (r + 1, 0))
+    cblock = pl.BlockSpec((1, _cnt_rows(tb), grid.nx_pad),
+                          lambda r: (r, 0, 0))
     slab = pltpu.VMEM((tb + 2, grid.cap, grid.nx_pad), jnp.float32)
     params = jnp.stack([
         1.0 / jnp.float32(grid.cell_size),
@@ -450,8 +485,7 @@ def select_pallas(xd, yd, grid: GridSpec2D, interpret: bool | None = None,
     )(params, occ, xd, yd)
     tb = grid.row_block
     code = code.at[:tb].set(_CODE_EMPTY).at[-tb:].set(_CODE_EMPTY)
-    cnt = cnt.at[:tb].set(0).at[-tb:].set(0)
-    return code, cnt
+    return code, _cnt_plane(cnt, grid, xd.shape[0])
 
 
 def _apply_kernel(occ, code_ref, p_hbm, out_ref, psl, sems, *, tb, fill):

@@ -29,22 +29,26 @@ GRID = verlet_solver.default_grid(0.045, -1.0, 2.5, y_max=3.0, cap=8,
                                   skin_factor=1.5)
 
 
-@pytest.fixture(scope="module")
-def perturbed_dense():
+def _make_perturbed(grid):
     state = init_grid(20, 20, 0.04)
     n = state.n
-    sim = verlet_solver.init_dense(state, GRID)
+    sim = verlet_solver.init_dense(state, grid)
     key = jax.random.PRNGKey(7)
     d = jax.random.uniform(key, (2, n), minval=-1.0, maxval=1.0)
-    skin_half = (GRID.cell_size - 0.045) * 0.5
+    skin_half = (grid.cell_size - 0.045) * 0.5
     x2 = state.x + d[0] * skin_half * 0.95
     y2 = jnp.maximum(state.y + d[1] * skin_half * 0.95, 0.0)
-    b = bin_particles(state.x, state.y, GRID, with_csr=False)
+    b = bin_particles(state.x, state.y, grid, with_csr=False)
     xd = to_dense(b, x2, fill=FAR)
     yd = to_dense(b, y2, fill=FAR)
     vxd = to_dense(b, jnp.arange(n, dtype=jnp.float32), fill=0.0)
     vyd = to_dense(b, -jnp.arange(n, dtype=jnp.float32), fill=0.0)
     return xd, yd, vxd, vyd, sim.idx_d
+
+
+@pytest.fixture(scope="module")
+def perturbed_dense():
+    return _make_perturbed(GRID)
 
 
 def test_reslot_planar_bitwise(perturbed_dense):
@@ -54,6 +58,33 @@ def test_reslot_planar_bitwise(perturbed_dense):
     for name, a, b in zip(("xd", "yd", "vxd", "vyd", "idx", "cnt"),
                           fused, planar):
         assert bool(jnp.array_equal(a, b)), name
+
+
+def test_reslot_tb4_matches_xla():
+    """4-row blocks (wide-grid mode) through BOTH rebin paths.  Regression:
+    the per-cell count used to come back through a (tb, nx_pad) output
+    block, whose sublane dim (tb=4) violates Mosaic's divisible-by-8 rule
+    — the 144M hw run faulted at its first planar rebin.  Counts now ride
+    a [n_row_blocks, max(8, tb), nx_pad] block (full last-two dims, legal
+    at any tb); this pins the re-laid plane against the XLA reference."""
+    g4 = dataclasses.replace(GRID, row_block=4)
+    xd, yd, vxd, vyd, idx_d = _make_perturbed(g4)
+    ref = reslot.reslot_xla(xd, yd, vxd, vyd, idx_d, g4)
+    fused = reslot.reslot_pallas(xd, yd, vxd, vyd, idx_d, g4)
+    planar = reslot.reslot_planar(xd, yd, vxd, vyd, idx_d, g4)
+    # XLA writes candidate counts into ghost rows too; the kernels only
+    # write interior blocks — compare there (nothing reads ghost counts)
+    tb = g4.row_block
+    for name, a, b, c in zip(("xd", "yd", "vxd", "vyd", "idx", "cnt"),
+                             ref, fused, planar):
+        a = a[tb:-tb] if name == "cnt" else a
+        assert bool(jnp.array_equal(a, b[tb:-tb] if name == "cnt"
+                                    else b)), f"fused {name}"
+        assert bool(jnp.array_equal(a, c[tb:-tb] if name == "cnt"
+                                    else c)), f"planar {name}"
+    # the count block's sublane height is Mosaic-legal for every row_block
+    for tb_ in (4, 8, 16):
+        assert reslot._cnt_rows(tb_) % 8 == 0
 
 
 def test_taken_mask_matches_post_membership(perturbed_dense):
