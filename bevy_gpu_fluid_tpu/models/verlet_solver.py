@@ -784,7 +784,10 @@ class Session:
         resident sim into ``run``'s dispatch so old and new dense planes
         never coexist (halves steady-state footprint; any outside
         reference to a previous ``sess.sim`` is invalidated — snapshot
-        via ``save``/``state()`` instead of holding the pytree).
+        via ``save``/``state()`` instead of holding the pytree).  It also
+        donates ``state`` into the init dispatch — under donate=True the
+        Session owns the particle planes from construction on; don't
+        reuse ``state`` afterwards.
 
         ``recovery=False`` reverts overflow handling to the counted-loss
         contract (``make_step``'s ``n=None``: drops are counted, never
@@ -803,14 +806,21 @@ class Session:
         self._setup(params, cfg, grid, state.n, stencils, max_age, reslot,
                     donate=donate, recovery=recovery,
                     planar_rebin=planar_rebin)
+        # donate the [N] input planes into the init dispatch too: at the
+        # HBM ceiling (>=144M) the four state planes + their padded chunk
+        # copies coexisting with the dense carry planes is several GiB of
+        # avoidable init-peak (callers under donate=True already treat
+        # `state` as consumed — Session is the owner from here on)
+        init_donate = (0,) if donate else ()
         if init_chunks is not None:
             self.sim = jax.jit(partial(
                 init_dense_chunked, grid=self.grid, n_chunks=init_chunks,
-                spill_cap=spill_cap, collect_spill=recovery))(state)
+                spill_cap=spill_cap, collect_spill=recovery),
+                donate_argnums=init_donate)(state)
         else:
             self.sim = jax.jit(partial(
                 init_dense, grid=self.grid, spill_cap=spill_cap,
-                collect_spill=recovery))(state)
+                collect_spill=recovery), donate_argnums=init_donate)(state)
 
     def _setup(self, params: FluidParams, cfg: IntegrateConfig,
                grid: GridSpec2D, n: int, stencils, max_age: int,
