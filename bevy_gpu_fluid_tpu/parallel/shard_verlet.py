@@ -543,56 +543,37 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
             jnp.where(dv, vx[ds], 0.0), jnp.where(dv, vy[ds], 0.0),
             jnp.where(dv, idx[ds], -1), jnp.int32(0))))
 
-    def local_step(xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd, idx_d, occ,
-                   disp2, alive, age, overflow, lost, dropped, rebins,
-                   sx, sy, svx, svy, sidx, readmitted, step):
+    def local_rebin(xd, yd, vxd, vyd, idx_d, overflow, lost, dropped,
+                    sx, sy, svx, svy, sidx, readmitted):
+        """Per-device rebin body, invoked from step_fn's JIT-LEVEL cond.
+        Refreshes occ (slot-loop bounds) and the per-slab live count along
+        with the rebinned planes; ref planes are re-aimed at the new xd/yd
+        by the caller (an alias, not a copy, at the jit level)."""
         sq = lambda a: a.reshape(a.shape[1:])
-        (xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd, idx_d, occ, disp2, alive,
-         age, overflow, lost, dropped, rebins,
+        (xd, yd, vxd, vyd, idx_d, overflow, lost, dropped,
          sx, sy, svx, svy, sidx, readmitted) = map(
-            sq, (xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd, idx_d, occ, disp2,
-                 alive, age, overflow, lost, dropped, rebins,
+            sq, (xd, yd, vxd, vyd, idx_d, overflow, lost, dropped,
                  sx, sy, svx, svy, sidx, readmitted))
-
-        # collective rebin trigger: the stored per-device disp2 scalar,
-        # computed at the END of the previous step over real columns only
-        # (ghosts are refreshed from neighbours each step and carry no
-        # displacement meaning) — same value the old pre-step reduction
-        # read, without re-reducing the dense arrays
+        rebin_fn = collective_rebin if D > 1 else rebin_d1
+        (xd, yd, vxd, vyd, idx_d, overflow, lost, dropped,
+         sx, sy, svx, svy, sidx, readmitted) = rebin_fn(
+            xd, yd, vxd, vyd, idx_d, overflow, lost, dropped,
+            sx, sy, svx, svy, sidx, readmitted)
         real = lambda a: jax.lax.slice_in_dim(a, 1, nxl + 1, axis=2)
-        need = (disp2 > skin_half * skin_half) | (age >= max_age)
-        if D > 1:   # uniform decision; at D=1 the local one already is,
-            # and a collective-dependent branch predicate serializes the
-            # dispatch stream against the all-reduce for nothing
-            need = jax.lax.psum(need.astype(jnp.int32), AXIS) > 0
+        r1 = lambda a: a.reshape((1,) + a.shape)
+        return tuple(map(r1, (xd, yd, vxd, vyd, idx_d, occ_of(xd),
+                              overflow, lost, dropped,
+                              sx, sy, svx, svy, sidx, readmitted,
+                              count_live(real(xd)))))
 
-        def do_rebin(op):
-            (xd, yd, vxd, vyd, idx_d, occ, age, overflow, lost, dropped,
-             rebins, sx, sy, svx, svy, sidx, readmitted,
-             ref_xd, ref_yd, alive) = op
-            rebin_fn = collective_rebin if D > 1 else rebin_d1
-            (xd, yd, vxd, vyd, idx_d, overflow, lost, dropped,
-             sx, sy, svx, svy, sidx, readmitted) = \
-                rebin_fn(xd, yd, vxd, vyd, idx_d, overflow, lost,
-                         dropped, sx, sy, svx, svy, sidx, readmitted)
-            # ref planes + alive refresh only here (the no-rebin step pays
-            # nothing — previously these were full-array where-selects and
-            # a live count on EVERY step)
-            return (xd, yd, vxd, vyd, idx_d, occ_of(xd), jnp.int32(0),
-                    overflow, lost, dropped, rebins + 1,
-                    sx, sy, svx, svy, sidx, readmitted,
-                    xd, yd, count_live(real(xd)))
-
-        def no_rebin(op):
-            return op
-
-        (xd, yd, vxd, vyd, idx_d, occ, age, overflow, lost, dropped,
-         rebins, sx, sy, svx, svy, sidx, readmitted,
-         ref_xd, ref_yd, alive) = jax.lax.cond(
-            need, do_rebin, no_rebin,
-            (xd, yd, vxd, vyd, idx_d, occ, age, overflow, lost, dropped,
-             rebins, sx, sy, svx, svy, sidx, readmitted,
-             ref_xd, ref_yd, alive))
+    def local_purestep(xd, yd, vxd, vyd, ref_xd, ref_yd, occ):
+        """The between-rebins step: ghost fill + density + forces/integrate.
+        idx/occ/spill/counters don't flow through — they're untouched here
+        and stay aliased in the scan carry at the jit level."""
+        sq = lambda a: a.reshape(a.shape[1:])
+        xd, yd, vxd, vyd, ref_xd, ref_yd, occ = map(
+            sq, (xd, yd, vxd, vyd, ref_xd, ref_yd, occ))
+        real = lambda a: jax.lax.slice_in_dim(a, 1, nxl + 1, axis=2)
 
         # per-step halo: current neighbour edge values into ghost columns
         # (ONE ppermute pair for all four planes — per-step ICI is now two
@@ -638,20 +619,21 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
             disp2 = jnp.max(ddx * ddx + ddy * ddy)
 
         r1 = lambda a: a.reshape((1,) + a.shape)
-        return tuple(map(r1, (xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd,
-                              idx_d, occ, disp2, alive, age + 1, overflow,
-                              lost, dropped, rebins,
-                              sx, sy, svx, svy, sidx, readmitted)))
+        return tuple(map(r1, (xd, yd, vxd, vyd, rho_d, disp2)))
 
     dense_specs = (P(AXIS),) * 22
     init_sharded = jax.shard_map(
         local_init, mesh=mesh,
         in_specs=(P(AXIS),) * 6 + (P(),),
         out_specs=dense_specs, check_vma=False)
-    step_sharded = jax.shard_map(
-        local_step, mesh=mesh,
-        in_specs=dense_specs + (P(),),
-        out_specs=dense_specs, check_vma=False)
+    rebin_sharded = jax.shard_map(
+        local_rebin, mesh=mesh,
+        in_specs=(P(AXIS),) * 14,
+        out_specs=(P(AXIS),) * 16, check_vma=False)
+    purestep_sharded = jax.shard_map(
+        local_purestep, mesh=mesh,
+        in_specs=(P(AXIS),) * 7,
+        out_specs=(P(AXIS),) * 6, check_vma=False)
 
     def _pack(out, step):
         (xd, yd, vxd, vyd, rho_d, rxd, ryd, idxd, occ, dsp, alive, age,
@@ -671,13 +653,39 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
 
     @jax.jit
     def step_fn(sim: ShardedDenseSim) -> ShardedDenseSim:
-        out = step_sharded(sim.xd, sim.yd, sim.vxd, sim.vyd, sim.rho_d,
-                           sim.ref_xd, sim.ref_yd, sim.idx_d, sim.occ,
-                           sim.disp2, sim.alive, sim.age, sim.overflow,
-                           sim.lost, sim.dropped, sim.rebin_count,
-                           sim.sx, sim.sy, sim.svx, sim.svy, sim.sidx,
-                           sim.readmitted, sim.step)
-        return _pack(out, sim.step + 1)
+        # Collective rebin trigger, evaluated OUTSIDE shard_map on the tiny
+        # [D] per-device disp2/age vectors (any device over skin -> all
+        # rebin; XLA inserts the scalar all-reduce itself, and at D=1 it's
+        # free).  The cond sits at the JIT level over the scan carry — the
+        # flagship-equivalent structure whose untaken branch ALIASES the
+        # carry.  The previous design conded per-device INSIDE shard_map,
+        # and the identity branch copied all 20 plane operands in and out
+        # on every no-rebin step: ~0.3 ms/step at 1M, the entire sharded-
+        # vs-flagship D=1 base gap isolated by tools/exp_shard_gap.py
+        # (BASELINE.json round4_sharded_glue).
+        thr = skin_half * skin_half
+        need = jnp.any((sim.disp2 > thr) | (sim.age >= max_age))
+
+        def do_rebin(s: ShardedDenseSim) -> ShardedDenseSim:
+            (xd, yd, vxd, vyd, idx_d, occ, ovf, lost, drp,
+             sx, sy, svx, svy, sidx, readm, alive) = rebin_sharded(
+                s.xd, s.yd, s.vxd, s.vyd, s.idx_d, s.overflow, s.lost,
+                s.dropped, s.sx, s.sy, s.svx, s.svy, s.sidx, s.readmitted)
+            return dataclasses.replace(
+                s, xd=xd, yd=yd, vxd=vxd, vyd=vyd, idx_d=idx_d, occ=occ,
+                ref_xd=xd, ref_yd=yd, alive=alive,
+                age=jnp.zeros_like(s.age), overflow=ovf, lost=lost,
+                dropped=drp, rebin_count=s.rebin_count + 1,
+                sx=sx, sy=sy, svx=svx, svy=svy, sidx=sidx,
+                readmitted=readm)
+
+        sim = jax.lax.cond(need, do_rebin, lambda s: s, sim)
+        xd, yd, vxd, vyd, rho_d, disp2 = purestep_sharded(
+            sim.xd, sim.yd, sim.vxd, sim.vyd, sim.ref_xd, sim.ref_yd,
+            sim.occ)
+        return dataclasses.replace(
+            sim, xd=xd, yd=yd, vxd=vxd, vyd=vyd, rho_d=rho_d, disp2=disp2,
+            age=sim.age + 1, step=sim.step + 1)
 
     return init_fn, step_fn
 
