@@ -10,12 +10,12 @@ decomposition.
 from .core.params import FluidParams, IntegrateConfig, GridSpec2D, GRAVITY_Y
 from .core.simulation import Simulation
 from .core.state import (FluidState, from_positions, init_grid, demo_block_5k,
-                         make_state)
+                         make_state, lattice_gen)
 
 __all__ = [
     "FluidParams", "IntegrateConfig", "GridSpec2D", "GRAVITY_Y",
     "FluidState", "Simulation", "from_positions", "init_grid",
-    "demo_block_5k", "make_state",
+    "demo_block_5k", "make_state", "lattice_gen",
 ]
 
 __version__ = "0.1.0"

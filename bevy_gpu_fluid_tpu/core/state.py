@@ -83,6 +83,22 @@ def init_grid(n_x: int, n_y: int, spacing: float) -> FluidState:
                       ax=z, ay=z, rho=z, p=z, step=jnp.int32(0))
 
 
+def lattice_gen(n_x: int, spacing: float):
+    """Chunk generator describing the same scene as ``init_grid(n_x, n_y,
+    spacing)`` without materializing it: maps a global particle index to
+    its lattice position (x-fastest order, matching the reference's
+    SPHState::init_grid, src/cpu/sph2d.rs:92-100), at rest.  For
+    ``verlet_solver.init_dense_gen`` / ``Session.from_generator`` — at
+    very large N the four [N] planes of a materialized FluidState are
+    themselves a meaningful slice of HBM."""
+    def gen(gi):
+        x = (gi % n_x).astype(jnp.float32) * spacing
+        y = (gi // n_x).astype(jnp.float32) * spacing
+        z = jnp.zeros_like(x)
+        return x, y, z, z
+    return gen
+
+
 def demo_block_5k() -> tuple[FluidState, FluidParams]:
     """The 71x71 = 5,041 particle dam-break block
     (reference: SPHState::demo_block_5k, src/cpu/sph2d.rs:230-235)."""

@@ -231,20 +231,64 @@ def init_dense_chunked(state: FluidState, grid: GridSpec2D, n_chunks: int,
               padf(state.vy, 0.0).reshape(K, c),
               padf(jnp.arange(n, dtype=jnp.int32), -1).reshape(K, c))
 
-    shape = (g.ny_pad, g.cap, g.nx_pad)
-    carry = (jnp.full(shape, FAR, jnp.float32),
-             jnp.full(shape, FAR, jnp.float32),
-             jnp.zeros(shape, jnp.float32),
-             jnp.zeros(shape, jnp.float32),
-             jnp.full(shape, -1, jnp.int32),
-             jnp.zeros((g.ny, g.nx), jnp.int32),        # running cell counts
-             jnp.int32(0),                              # overflow
-             jnp.full((spill_cap,), FAR, jnp.float32),
-             jnp.full((spill_cap,), FAR, jnp.float32),
-             jnp.zeros((spill_cap,), jnp.float32),
-             jnp.zeros((spill_cap,), jnp.float32),
-             jnp.full((spill_cap,), -1, jnp.int32))
+    body = _chunk_init_body(g, spill_cap, collect_spill)
+    out, _ = jax.lax.scan(body, _chunk_init_carry(g, spill_cap), chunks)
+    return _chunk_init_finish(out, grid, state.step)
 
+
+def init_dense_gen(gen, n: int, grid: GridSpec2D, n_chunks: int,
+                   spill_cap: int = SPILL_CAP,
+                   collect_spill: bool = True,
+                   step=None) -> DenseSim:
+    """``init_dense_chunked`` with chunks COMPUTED instead of sliced.
+
+    ``gen(gi)`` takes a [c] int32 array of GLOBAL particle indices and
+    returns that chunk's ``(x, y, vx, vy)`` as [c] f32 arrays — a traced
+    jnp formula of the index (e.g. ``lattice_gen``'s row-major lattice).
+    The four [N] particle planes never exist on device: the chunked init
+    already shrank the sort workspace to O(N/K), but its INPUT was still
+    the full [N] FluidState, which at the HBM ceiling coexists with the
+    ~resident-size dense carry (the 160M first-dispatch OOM — donation
+    can't help, no init output matches the [N] shape).  Bitwise-identical
+    to ``init_dense`` on the state ``gen`` describes (same stable-rank
+    machinery; gated by tests/test_verlet.py)."""
+    g = grid
+    K = n_chunks
+    c = -(-n // K)
+    body = _chunk_init_body(g, spill_cap, collect_spill)
+
+    def gen_body(carry, k):
+        gi = k * c + jnp.arange(c, dtype=jnp.int32)
+        valid = gi < n
+        x, y, vx, vy = gen(gi)
+        chunk = (jnp.where(valid, x, FAR), jnp.where(valid, y, FAR),
+                 jnp.where(valid, vx, 0.0), jnp.where(valid, vy, 0.0),
+                 jnp.where(valid, gi, -1))
+        return body(carry, chunk)
+
+    out, _ = jax.lax.scan(gen_body, _chunk_init_carry(g, spill_cap),
+                          jnp.arange(K, dtype=jnp.int32))
+    return _chunk_init_finish(
+        out, grid, jnp.int32(0) if step is None else step)
+
+
+def _chunk_init_carry(g: GridSpec2D, spill_cap: int):
+    shape = (g.ny_pad, g.cap, g.nx_pad)
+    return (jnp.full(shape, FAR, jnp.float32),
+            jnp.full(shape, FAR, jnp.float32),
+            jnp.zeros(shape, jnp.float32),
+            jnp.zeros(shape, jnp.float32),
+            jnp.full(shape, -1, jnp.int32),
+            jnp.zeros((g.ny, g.nx), jnp.int32),         # running cell counts
+            jnp.int32(0),                               # overflow
+            jnp.full((spill_cap,), FAR, jnp.float32),
+            jnp.full((spill_cap,), FAR, jnp.float32),
+            jnp.zeros((spill_cap,), jnp.float32),
+            jnp.zeros((spill_cap,), jnp.float32),
+            jnp.full((spill_cap,), -1, jnp.int32))
+
+
+def _chunk_init_body(g: GridSpec2D, spill_cap: int, collect_spill: bool):
     def body(carry, chunk):
         (xd, yd, vxd, vyd, idx_d, cnt, overflow,
          sx, sy, svx, svy, sidx) = carry
@@ -289,8 +333,10 @@ def init_dense_chunked(state: FluidState, grid: GridSpec2D, n_chunks: int,
             sx, sy, svx, svy, sidx = (p[keep] for p in pool)
         return (xd, yd, vxd, vyd, idx_d, cnt, overflow,
                 sx, sy, svx, svy, sidx), None
+    return body
 
-    out, _ = jax.lax.scan(body, carry, chunks)
+
+def _chunk_init_finish(out, grid: GridSpec2D, step) -> DenseSim:
     (xd, yd, vxd, vyd, idx_d, _cnt, overflow,
      sx, sy, svx, svy, sidx) = out
     return DenseSim(xd=xd, yd=yd, vxd=vxd, vyd=vyd,
@@ -298,7 +344,7 @@ def init_dense_chunked(state: FluidState, grid: GridSpec2D, n_chunks: int,
                     idx_d=idx_d, occ=reslot_ops.block_kmax3(xd, grid),
                     disp2=jnp.float32(0.0), age=jnp.int32(0),
                     overflow=overflow, lost=jnp.int32(0),
-                    rebin_count=jnp.int32(1), step=state.step,
+                    rebin_count=jnp.int32(1), step=step,
                     sx=sx, sy=sy, svx=svx, svy=svy, sidx=sidx,
                     readmitted=jnp.int32(0))
 
@@ -821,6 +867,29 @@ class Session:
             self.sim = jax.jit(partial(
                 init_dense, grid=self.grid, spill_cap=spill_cap,
                 collect_spill=recovery), donate_argnums=init_donate)(state)
+
+    @classmethod
+    def from_generator(cls, gen, n: int, params: FluidParams,
+                       cfg: IntegrateConfig, grid: GridSpec2D, stencils=None,
+                       max_age: int = 64, reslot=None,
+                       spill_cap: int = SPILL_CAP, init_chunks: int = 16,
+                       donate: bool = True, recovery: bool = True,
+                       planar_rebin: bool | None = None) -> "Session":
+        """Session whose initial scene is COMPUTED chunk-by-chunk by
+        ``gen`` (see ``init_dense_gen``) instead of binned from a
+        materialized FluidState — the top-of-HBM init path: no [N]
+        particle planes ever exist on device (e.g.
+        ``core.state.lattice_gen`` for the reference's init_grid
+        lattice).  Defaults flip to the very-large-N posture
+        (``init_chunks=16``, ``donate=True``)."""
+        self = cls.__new__(cls)
+        self._setup(params, cfg, grid, n, stencils, max_age, reslot,
+                    donate=donate, recovery=recovery,
+                    planar_rebin=planar_rebin)
+        self.sim = jax.jit(partial(
+            init_dense_gen, gen, n, grid=grid, n_chunks=init_chunks,
+            spill_cap=spill_cap, collect_spill=recovery))()
+        return self
 
     def _setup(self, params: FluidParams, cfg: IntegrateConfig,
                grid: GridSpec2D, n: int, stencils, max_age: int,

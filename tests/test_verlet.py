@@ -114,6 +114,47 @@ def test_init_dense_chunked_bitwise_matches_sort_init():
     np.testing.assert_array_equal(np.asarray(w2.xd), np.asarray(g2.xd))
 
 
+def test_init_dense_gen_bitwise_matches_sort_init():
+    """The generator init (no [N] planes on device, the top-of-HBM path)
+    must reproduce the sort-based init of the same lattice EXACTLY —
+    every DenseSim leaf bitwise — including with a chunk count that
+    doesn't divide N (the in-scan tail masking)."""
+    import dataclasses
+    import numpy as np
+    from bevy_gpu_fluid_tpu import lattice_gen
+    state = init_grid(24, 24, 0.04)
+    grid = verlet_solver.default_grid(0.045, -1.0, 2.5, y_max=3.0, cap=8,
+                                      skin_factor=1.5)
+    want = verlet_solver.init_dense(state, grid)
+    for K in (1, 7):                      # 7: 576 % 7 != 0 -> masked tail
+        got = jax.jit(lambda: verlet_solver.init_dense_gen(
+            lattice_gen(24, 0.04), state.n, grid, n_chunks=K))()
+        for f in dataclasses.fields(want):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(want, f.name)),
+                np.asarray(getattr(got, f.name)), err_msg=f"{f.name} K={K}")
+
+
+def test_session_from_generator_matches_state_session():
+    """Session.from_generator must produce the same trajectory as a
+    Session constructed from the materialized FluidState of the same
+    scene."""
+    import numpy as np
+    from bevy_gpu_fluid_tpu import lattice_gen
+    state = init_grid(24, 24, 0.04)
+    grid = verlet_solver.default_grid(0.045, -1.0, 2.5, y_max=3.0)
+    a = verlet_solver.Session(state, PARAMS, CFG, grid)
+    b = verlet_solver.Session.from_generator(
+        lattice_gen(24, 0.04), state.n, PARAMS, CFG, grid, init_chunks=3)
+    a.run(40)
+    b.run(40)
+    sa, sb = a.state(), b.state()
+    np.testing.assert_array_equal(np.asarray(sa.x), np.asarray(sb.x))
+    np.testing.assert_array_equal(np.asarray(sa.vx), np.asarray(sb.vx))
+    assert int(b.sim.rebin_count) == int(a.sim.rebin_count)
+    assert b.overflow == 0
+
+
 def test_session_donate_runs_and_matches():
     """donate=True (the very-large-N memory knob) must not change results:
     a donated Session's trajectory equals the default Session's."""

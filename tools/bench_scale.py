@@ -86,13 +86,15 @@ def main() -> int:
           f"resident dense)", file=sys.stderr)
 
     t0 = time.time()
-    state = bgf.init_grid(side, side, 0.04)
     planar = {"auto": None, "on": True, "off": False}[args.planar]
-    sess = verlet_solver.Session(state, params, cfg, grid,
-                                 init_chunks=args.chunks, donate=True,
-                                 recovery=not args.no_recovery,
-                                 planar_rebin=planar)
-    del state                       # free the [N] particle planes
+    # generator init: the lattice is computed chunk-by-chunk inside the
+    # init scan — no [N] particle planes ever exist on device (they were
+    # the 160M first-dispatch OOM: ~2.6 GiB of input planes coexisting
+    # with the ~11 GiB dense carry, and donation can't alias them away)
+    sess = verlet_solver.Session.from_generator(
+        bgf.lattice_gen(side, 0.04), n, params, cfg, grid,
+        init_chunks=args.chunks, donate=True,
+        recovery=not args.no_recovery, planar_rebin=planar)
     jax.block_until_ready(sess.sim.xd)
     t_init = time.time() - t0
 
