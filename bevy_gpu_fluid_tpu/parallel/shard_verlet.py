@@ -11,7 +11,8 @@ Key observation: the two compose cleanly.  Between rebins, only the VALUES in
 the neighbour's edge column change, not the slot structure — so per-step ICI
 traffic is two ghost-column exchanges (one stacked [4, ny_pad, cap, 1]
 ppermute pair for x/y/vx/vy before density, one for rho after — a few
-hundred KB total) and a psum'd rebin trigger.
+hundred KB total) and an any-device-reduced rebin trigger read
+from the tiny per-device disp2 scalars at the jit level.
 
 The rebin itself is the same sort-free LOCAL reslot as the single-chip
 flagship (ops/reslot.py), extended with ghost-column capture for migration:
@@ -24,7 +25,11 @@ design (gather every particle, pack/exchange migrant buffers, re-sort the
 slab) cost ~40 ms per rebin at 1M where this costs ~2 ms.
 
 Rebinning must be COLLECTIVE (migration is an exchange), so the per-device
-skin trigger is psum-reduced and all devices take the rebin branch together.
+skin trigger is any-reduced across devices (outside shard_map, over the
+[D] disp2/age vectors) and all devices take the rebin branch together.
+The rebin lax.cond lives at the JIT level over the scan carry, so the
+untaken branch aliases the carry instead of copying every plane (the
+old inside-shard_map cond cost ~0.3 ms/step at 1M doing exactly that).
 
 Per-particle identity is first-class: a dense int32 idx plane (the original
 particle index, globally unique — the analog of the reference's stable SSBO
@@ -98,7 +103,7 @@ class ShardedDenseSim:
               bound a superset, so skipped slots are provably FAR)
     disp2:    f32[D] max squared displacement of real columns from the
               rebin reference, computed at the end of the previous step
-              (in-kernel on the fused path) — the psum'd trigger reads it
+              (in-kernel on the fused path) — the any-reduced trigger reads it
     alive:    live particles currently resident on the device
     overflow: cumulative cell-capacity losses (reslot matches beyond cap)
     lost:     cumulative reslot window misses (structurally 0 — diagnostic)

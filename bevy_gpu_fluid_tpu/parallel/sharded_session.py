@@ -50,7 +50,7 @@ class ShardedSession:
     """Persistent multi-chip run over ``spec.n_devices`` spatial slabs.
 
     ``run(k)`` advances k steps as ONE scanned multi-device execution
-    (collective rebins, ghost-column halos and the psum'd trigger are all
+    (collective rebins, ghost-column halos and the any-reduced trigger are all
     inside the program); ``run_frame``/``frame`` assemble a seamless RGB
     frame from per-slab raster strips; ``state()`` materializes the
     ORIGINAL-order FluidState on demand; ``save``/``restore`` round-trip
