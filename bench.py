@@ -189,9 +189,28 @@ def bench_fps(plan=(10_000, 5_041, 1_024), seconds: float = 3.0,
                 frames += 1
             return frames / (time.time() - t0)
 
+        def loop_batched(pull: bool, f: int = 32) -> float:
+            """Throughput mode: f frames per dispatch (Simulation.run_frames
+            — same frame bytes, stacked), pipelined one BATCH in flight.
+            The ~27 ms tunnel dispatch + ~27 ms host-pull latencies amortize
+            over f frames instead of taxing each one."""
+            jax.block_until_ready(sim.run_frames(f, substeps))   # compile
+            pump = FramePump(pull=pull)
+            frames = 0
+            t0 = time.time()
+            while time.time() - t0 < seconds:
+                if pump.push(sim.run_frames(f, substeps)) is not None:
+                    frames += f
+            if pump.flush() is not None:
+                frames += f
+            return frames / (time.time() - t0)
+
         dev, host = loop(False), loop(True)
+        bdev, bhost = loop_batched(False), loop_batched(True)
         print(f"# fps: {sim.state.n} particles x {substeps} substeps/frame "
-              f"-> {dev:.1f} FPS on-device, {host:.1f} FPS incl. host pull "
+              f"-> {dev:.1f} FPS on-device, {host:.1f} FPS incl. host pull; "
+              f"batched x32/dispatch: {bdev:.1f} on-device, {bhost:.1f} "
+              f"incl. host pull "
               f"(reference GPU bridge, no integration: 188.0 @10k / "
               f"191.3 @5k / 202.8 @1k)", file=sys.stderr)
 

@@ -19,6 +19,7 @@ import math
 from typing import Literal
 
 import jax
+import jax.numpy as jnp
 
 from .params import FluidParams, IntegrateConfig, GridSpec2D
 from .state import FluidState, init_grid
@@ -98,6 +99,17 @@ class Simulation:
         # one dispatch per frame: step + raster fused (dispatch latency is
         # the FPS ceiling for small scenes on tunneled rigs)
         self._run_frame = jax.jit(_run_frame, static_argnums=(1, 2))
+
+        def _run_frames(s, f, n, mode):
+            def body(st, _):
+                st, diag = self._run(st, n)
+                ov = diag.overflow if diag is not None else jnp.int32(0)
+                return st, (self._frame(st, mode), ov)
+            s, (imgs, ovs) = jax.lax.scan(body, s, None, length=f)
+            return s, imgs, jnp.max(ovs)
+        # f frames in one dispatch (throughput mode): transport latency
+        # amortizes over the batch — see Session.run_frames
+        self._run_frames = jax.jit(_run_frames, static_argnums=(1, 2, 3))
 
     # ---- scene builders -------------------------------------------------
     @staticmethod
@@ -235,6 +247,21 @@ class Simulation:
         if diag is not None:
             self.overflow = max(self.overflow, int(diag.overflow))
         return img
+
+    def run_frames(self, n_frames: int, substeps: int = 16,
+                   mode: str = "density"):
+        """``n_frames`` frames in ONE device dispatch (throughput mode):
+        the same trajectory (bitwise) as ``n_frames`` sequential
+        ``run_frame`` calls, frames stacked as uint8
+        ``[n_frames, H, W, 3]`` (bytes agree to ±1 rounding across the
+        separately compiled programs) — the per-dispatch transport
+        latency amortizes over the batch.  See
+        ``verlet_solver.Session.run_frames`` for the resident-dense
+        variant this mirrors."""
+        self.state, imgs, ov = self._run_frames(self.state, n_frames,
+                                                substeps, mode)
+        self.overflow = max(self.overflow, int(ov))
+        return imgs
 
     def save(self, path: str) -> None:
         from ..utils import checkpoint

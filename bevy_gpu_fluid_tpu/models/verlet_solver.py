@@ -511,6 +511,27 @@ def _spill_admit(xd, yd, vxd, vyd, idx_d, cnt,
     return xd, yd, vxd, vyd, idx_d, sx, sy, svx, svy, sidx, readmitted
 
 
+def make_step_parts(params: FluidParams, cfg: IntegrateConfig,
+                    grid: GridSpec2D, stencils=None, max_age: int = 64,
+                    reslot=None, n: int | None = None, planar: bool = False):
+    """Build the dense step DECOMPOSED as ``(pure_step, rebin_fn,
+    need_fn)`` — the pieces ``make_step`` composes into the standard
+    per-step ``cond(need, rebin) -> kernels`` shape.
+
+    The decomposition exists for the segmented HBM-ceiling driver
+    (``Session.run`` near the top of HBM): a rebin ``lax.cond`` inside
+    the step scan statically reserves one temp plane per cond output
+    (XLA cannot alias the untaken branch with the scan carry, and its
+    scheduler overlaps the per-plane conds, so all of them are live at
+    once — measured 4 x 1.38 GiB HLO temps at 160M particles, the
+    compile-time OOM).  Driving ``while_loop(pure_step)`` until
+    ``need_fn`` fires and dispatching ``rebin_fn`` separately (donated,
+    at the jit TOP level where aliasing works) removes those temps from
+    the hot program entirely."""
+    return _build_step(params, cfg, grid, stencils, max_age, reslot, n,
+                       planar)
+
+
 def make_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
               stencils=None, max_age: int = 64, reslot=None,
               n: int | None = None, planar: bool = False):
@@ -538,6 +559,22 @@ def make_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
     plane-footprints is the observed 128M-particle fault).  The recovery
     collect reads the routing code instead of comparing pre/post idx
     planes, so the pre-rebin payload planes die at their own apply."""
+    pure_step, rebin_fn, need_fn = _build_step(
+        params, cfg, grid, stencils, max_age, reslot, n, planar)
+
+    def step(sim: DenseSim) -> DenseSim:
+        # rebin if any particle outran half the skin (or bins are too old);
+        # disp2 was computed at the end of the previous step against the
+        # same reference — the same value the old pre-step reduction read
+        sim = jax.lax.cond(need_fn(sim), rebin_fn, lambda s: s, sim)
+        return pure_step(sim)
+
+    return step
+
+
+def _build_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
+                stencils, max_age: int, reslot, n: int | None,
+                planar: bool):
     fused = stencils is None
     # small grids take the MONO kernel (one launch/step, halo-rho
     # recomputed in-VMEM — ulp-level identical to the two-kernel path);
@@ -667,14 +704,13 @@ def make_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
                         sx=sx, sy=sy, svx=svx, svy=svy, sidx=sidx,
                         readmitted=readmitted)
 
-    def step(sim: DenseSim) -> DenseSim:
-        # rebin if any particle outran half the skin (or bins are too old);
-        # disp2 was computed at the end of the previous step against the
-        # same reference — the same value the old pre-step reduction read
-        need = (sim.disp2 > skin_half * skin_half) | (sim.age >= max_age)
-        sim = jax.lax.cond(need, rebin_planar if planar else rebin,
-                           lambda s: s, sim)
+    def need_fn(sim: DenseSim):
+        """The rebin trigger a step checks BEFORE its kernels: any particle
+        outran half the skin (disp2 stored by the previous step's epilogue
+        against the same reference) or the bins aged out."""
+        return (sim.disp2 > skin_half * skin_half) | (sim.age >= max_age)
 
+    def pure_step(sim: DenseSim) -> DenseSim:
         if mono:
             xd, yd, vxd, vyd, rho_d, disp2 = pallas_solver.mono_step_pallas(
                 sim.xd, sim.yd, sim.vxd, sim.vyd,
@@ -730,7 +766,7 @@ def make_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
             step=sim.step + 1,
         )
 
-    return step
+    return pure_step, (rebin_planar if planar else rebin), need_fn
 
 
 def _session_fingerprint(stencils, reslot, max_age: int,
@@ -756,6 +792,23 @@ def planar_rebin_default(grid: GridSpec2D) -> bool:
     kernel transients and the recovery collect)."""
     plane_bytes = grid.ny_pad * grid.cap * grid.nx_pad * 4
     return plane_bytes * 13 > 14 * 1024 ** 3
+
+
+def segmented_run_default(grid: GridSpec2D) -> bool:
+    """Auto-select the segmented run driver at the very top of HBM.
+
+    The standard ``run`` scans ``cond(need, rebin) -> kernels``; XLA
+    statically reserves one temp plane per rebin-cond output inside the
+    scan (the untaken branch cannot alias the carry, and the scheduler
+    overlaps the per-plane conds) — measured 4 extra plane-footprints, so
+    the step program needs ~12 planes resident and compile-faults OOM at
+    160M particles (8 x 1.38 GiB args + 5.52 GiB cond temps, 16.6 of
+    15.75 GiB).  The segmented driver keeps the hot program cond-free
+    (8 planes) and runs the rebin as its own donated dispatch; its cost
+    is one host round-trip per segment (~27 ms on tunneled rigs), noise
+    when steps take >100 ms but a 2x loss at 1M — hence ceiling-only."""
+    plane_bytes = grid.ny_pad * grid.cap * grid.nx_pad * 4
+    return plane_bytes * 12 + 600 * 1024 ** 2 > 15.5 * 1024 ** 3
 
 
 def default_grid(params_h: float, x_min: float, x_max: float, y_max: float,
@@ -821,7 +874,8 @@ class Session:
                  max_age: int = 64, reslot=None,
                  spill_cap: int = SPILL_CAP, init_chunks: int | None = None,
                  donate: bool = False, recovery: bool = True,
-                 planar_rebin: bool | None = None):
+                 planar_rebin: bool | None = None,
+                 segmented: bool | None = None):
         """``init_chunks``/``donate`` are the very-large-N knobs (both
         matter past ~64M particles, where HBM — not compute — is the
         ceiling): ``init_chunks=K`` builds the dense state with the
@@ -848,10 +902,17 @@ class Session:
         see make_step).  Default ``None`` auto-enables it when the fused
         rebin's ~13 plane-footprint peak would crowd a 16 GiB chip
         (the observed 128M fused fault, BASELINE.json
-        round3_memory_ceiling)."""
+        round3_memory_ceiling).
+
+        ``segmented`` selects the segmented run driver (bit-identical
+        trajectory; the rebin cond leaves the hot program, cutting ~4
+        temp plane-footprints at the cost of one host round-trip per
+        rebin segment).  Default ``None`` auto-enables it where the
+        standard program's static temps would compile-fault OOM
+        (``segmented_run_default``; measured at 160M particles)."""
         self._setup(params, cfg, grid, state.n, stencils, max_age, reslot,
                     donate=donate, recovery=recovery,
-                    planar_rebin=planar_rebin)
+                    planar_rebin=planar_rebin, segmented=segmented)
         # donate the [N] input planes into the init dispatch too: at the
         # HBM ceiling (>=144M) the four state planes + their padded chunk
         # copies coexisting with the dense carry planes is several GiB of
@@ -874,7 +935,8 @@ class Session:
                        max_age: int = 64, reslot=None,
                        spill_cap: int = SPILL_CAP, init_chunks: int = 16,
                        donate: bool = True, recovery: bool = True,
-                       planar_rebin: bool | None = None) -> "Session":
+                       planar_rebin: bool | None = None,
+                       segmented: bool | None = None) -> "Session":
         """Session whose initial scene is COMPUTED chunk-by-chunk by
         ``gen`` (see ``init_dense_gen``) instead of binned from a
         materialized FluidState — the top-of-HBM init path: no [N]
@@ -885,7 +947,7 @@ class Session:
         self = cls.__new__(cls)
         self._setup(params, cfg, grid, n, stencils, max_age, reslot,
                     donate=donate, recovery=recovery,
-                    planar_rebin=planar_rebin)
+                    planar_rebin=planar_rebin, segmented=segmented)
         self.sim = jax.jit(partial(
             init_dense_gen, gen, n, grid=grid, n_chunks=init_chunks,
             spill_cap=spill_cap, collect_spill=recovery))()
@@ -894,11 +956,24 @@ class Session:
     def _setup(self, params: FluidParams, cfg: IntegrateConfig,
                grid: GridSpec2D, n: int, stencils, max_age: int,
                reslot, donate: bool = False, recovery: bool = True,
-               planar_rebin: bool | None = None) -> None:
+               planar_rebin: bool | None = None,
+               segmented: bool | None = None) -> None:
         from ..render import raster
 
         if planar_rebin is None:
             planar_rebin = planar_rebin_default(grid)
+        at_hbm_wall = segmented_run_default(grid)
+        if segmented is None:
+            segmented = at_hbm_wall
+        self.segmented = segmented
+        if at_hbm_wall and stencils is None:
+            # the fused forces+integrate kernel emits 4 fresh planes while
+            # still reading the old ones — 4 temp plane-footprints the
+            # program cannot shed, the other half of the 160M compile OOM
+            # (the rebin-cond temps being the half `segmented` sheds).
+            # The two-kernel tail needs only ax/ay (2 temps) and its XLA
+            # elementwise integrate can reuse the dying input buffers.
+            stencils = pallas_solver.make_stencils(grid)
         self.params = params
         self.cfg = cfg
         self.grid = grid
@@ -906,8 +981,16 @@ class Session:
         self.planar_rebin = planar_rebin
         self._fingerprint = _session_fingerprint(stencils, reslot, max_age,
                                                  recovery)
-        stepf = make_step(params, cfg, grid, stencils, max_age, reslot,
-                          n=n if recovery else None, planar=planar_rebin)
+        pure_step, rebin_fn, need_fn = make_step_parts(
+            params, cfg, grid, stencils, max_age, reslot,
+            n=n if recovery else None, planar=planar_rebin)
+        self._parts = (pure_step, rebin_fn, need_fn)
+        self._donate = donate
+        self._segmented_fns = None   # built lazily on first segmented run
+
+        def stepf(sim):
+            sim = jax.lax.cond(need_fn(sim), rebin_fn, lambda s: s, sim)
+            return pure_step(sim)
 
         @partial(jax.jit, static_argnums=1,
                  donate_argnums=(0,) if donate else ())
@@ -921,6 +1004,16 @@ class Session:
                                length=k)[0]
             return sim, raster.field_frame(sim.xd, sim.yd, params, grid,
                                            px_per_cell=ppc, mode=mode)
+
+        @partial(jax.jit, static_argnums=(1, 2, 3, 4),
+                 donate_argnums=(0,) if donate else ())
+        def run_frames(sim, f, k, ppc, mode):
+            def body(s, _):
+                s = jax.lax.scan(lambda s2, _: (stepf(s2), None), s, None,
+                                 length=k)[0]
+                return s, raster.field_frame(s.xd, s.yd, params, grid,
+                                             px_per_cell=ppc, mode=mode)
+            return jax.lax.scan(body, sim, None, length=f)
 
         @partial(jax.jit, static_argnums=(1, 2))
         def frame_only(sim, ppc, mode):
@@ -939,6 +1032,7 @@ class Session:
 
         self._run_k = run_k
         self._run_frame = run_frame
+        self._run_frames = run_frames
         self._frame = frame_only
         self._kick = kick
         self._extract = jax.jit(
@@ -954,6 +1048,9 @@ class Session:
         error around the ~60 s mark (measured at 128M particles: 300-step
         ≈60 s dispatches fault, the same program in 150-step ≈30 s chunks
         runs clean).  Direct-attached chips don't need it."""
+        if self.segmented:
+            self._run_segmented(n_steps, chunk)
+            return
         if chunk is None or chunk >= n_steps:
             self.sim = self._run_k(self.sim, n_steps)
             return
@@ -963,6 +1060,53 @@ class Session:
             self.sim = self._run_k(self.sim, k)
             done += k
 
+    def _segmented_build(self):
+        if self._segmented_fns is None:
+            pure_step, rebin_fn, need_fn = self._parts
+            dn = (0,) if self._donate else ()
+
+            @partial(jax.jit, donate_argnums=dn)
+            def step_until(sim, k):
+                """Pure steps (NO rebin cond in the program — no cond temp
+                planes) until the skin/age trigger fires or k steps done.
+                Returns (sim, steps_done, trigger_pending)."""
+                def go(c):
+                    s, i = c
+                    return jnp.logical_and(~need_fn(s), i < k)
+
+                def body(c):
+                    s, i = c
+                    return pure_step(s), i + 1
+
+                sim, i = jax.lax.while_loop(go, body, (sim, jnp.int32(0)))
+                return sim, i, need_fn(sim)
+
+            @partial(jax.jit, donate_argnums=dn)
+            def rebin_one(sim):
+                return rebin_fn(sim)
+
+            self._segmented_fns = (step_until, rebin_one)
+        return self._segmented_fns
+
+    def _run_segmented(self, n_steps: int, chunk: int | None) -> None:
+        """The HBM-ceiling run driver (see segmented_run_default): the
+        rebin runs as its OWN donated dispatch at the jit top level —
+        aliasing works there, so the peak stays near the 8 resident
+        planes — and the hot while_loop program carries no rebin cond at
+        all.  The trajectory is BITWISE the standard scan's: a rebin is
+        dispatched exactly when a step's pre-check would have taken the
+        cond branch (a segment ending at its step bound with the trigger
+        clear just continues in the next dispatch)."""
+        step_until, rebin_one = self._segmented_build()
+        cap = n_steps if chunk is None else chunk
+        done = 0
+        while done < n_steps:
+            k = min(cap, n_steps - done)
+            self.sim, did, need = step_until(self.sim, jnp.int32(k))
+            done += int(did)
+            if done < n_steps and bool(need):
+                self.sim = rebin_one(self.sim)
+
     def run_frame(self, substeps: int = 16, px_per_cell: int = 2,
                   mode: str = "density"):
         """substeps + field raster in ONE jitted dispatch (the production
@@ -971,6 +1115,25 @@ class Session:
         self.sim, img = self._run_frame(self.sim, substeps, px_per_cell,
                                         mode)
         return img
+
+    def run_frames(self, n_frames: int, substeps: int = 16,
+                   px_per_cell: int = 2, mode: str = "density"):
+        """``n_frames`` frames in ONE dispatch: a scan of (substeps steps +
+        field raster) per frame, returning the stacked uint8
+        ``[n_frames, H, W, 3]`` RGB batch.  The trajectory is BITWISE the
+        one ``n_frames`` sequential ``run_frame`` calls walk; frame bytes
+        agree to ±1 (a colormap f32->uint8 rounding boundary may resolve
+        differently in the two separately compiled programs).  The
+        per-dispatch transport latency (and the per-pull host-transfer
+        latency, if the caller converts the stack in one ``np.asarray``)
+        amortizes over the whole batch instead of taxing every frame.  This is the
+        throughput frame path (offline export, video encode, bench
+        cadence); per-frame ``run_frame`` remains the latency path for
+        interactive loops.  Device footprint: n_frames * H * W * 3 bytes
+        — size batches accordingly at large rasters."""
+        self.sim, imgs = self._run_frames(self.sim, n_frames, substeps,
+                                          px_per_cell, mode)
+        return imgs
 
     def frame(self, px_per_cell: int = 2, mode: str = "density"):
         """uint8 RGB frame of the resident state (no stepping)."""
@@ -1008,7 +1171,8 @@ class Session:
     @classmethod
     def restore(cls, path: str, stencils=None, max_age: int = 64,
                 reslot=None, recovery: bool = True,
-                planar_rebin: bool | None = None) -> "Session":
+                planar_rebin: bool | None = None,
+                segmented: bool | None = None) -> "Session":
         """Rebuild a Session from ``save``.  Non-serializable knobs
         (stencils / reslot backend, max_age, recovery) are re-supplied here
         and must match the saved run's for bitwise continuation — a
@@ -1023,7 +1187,8 @@ class Session:
         sim, grid, params, cfg, n = checkpoint.load_dense(path)
         self = cls.__new__(cls)
         self._setup(params, cfg, grid, n, stencils, max_age, reslot,
-                    recovery=recovery, planar_rebin=planar_rebin)
+                    recovery=recovery, planar_rebin=planar_rebin,
+                    segmented=segmented)
         self.sim = sim
         return self
 

@@ -60,6 +60,73 @@ def test_session_run_frame():
     assert sess.overflow == 0
 
 
+def test_session_segmented_run_matches_standard():
+    """The segmented HBM-ceiling driver (Session(segmented=True): pure-step
+    while_loop segments + rebins as their own donated dispatches) walks the
+    SAME trajectory as the standard cond-in-scan driver — bitwise, rebin
+    counters included — across run() call boundaries and chunking."""
+    state = init_grid(20, 20, 0.04)
+    a = verlet_solver.Session(state, PARAMS, CFG, GRID)
+    a.run(30)
+    a.run(20)
+    b = verlet_solver.Session(state, PARAMS, CFG, GRID, segmented=True)
+    assert b.segmented
+    b.run(30)
+    b.run(20, chunk=12)   # segment bound < rebin cadence: exercises the
+    # trigger-clear continue path
+    assert int(a.sim.rebin_count) == int(b.sim.rebin_count) > 0
+    assert int(a.sim.step) == int(b.sim.step) == 50
+    assert a.overflow == b.overflow == 0
+    for f in ("xd", "yd", "vxd", "vyd", "rho_d", "idx_d", "age"):
+        np.testing.assert_array_equal(np.asarray(getattr(a.sim, f)),
+                                      np.asarray(getattr(b.sim, f)),
+                                      err_msg=f)
+
+
+def test_session_segmented_unfused_posture_matches_standard():
+    """The full HBM-ceiling posture (two-kernel stencils + segmented
+    driver — what a >=152M Session auto-selects) walks the same trajectory
+    as the standard driver with the same stencils, bitwise."""
+    from bevy_gpu_fluid_tpu.models import pallas_solver
+    state = init_grid(16, 16, 0.04)
+    stencils = pallas_solver.make_stencils(GRID)
+    a = verlet_solver.Session(state, PARAMS, CFG, GRID, stencils=stencils)
+    a.run(30)
+    b = verlet_solver.Session(state, PARAMS, CFG, GRID, stencils=stencils,
+                              segmented=True)
+    b.run(30, chunk=9)
+    assert int(a.sim.rebin_count) == int(b.sim.rebin_count)
+    assert int(a.sim.step) == int(b.sim.step) == 30
+    for f in ("xd", "yd", "vxd", "vyd", "idx_d"):
+        np.testing.assert_array_equal(np.asarray(getattr(a.sim, f)),
+                                      np.asarray(getattr(b.sim, f)),
+                                      err_msg=f)
+
+
+def test_session_run_frames_batched_matches_sequential():
+    """run_frames(f, k) — the throughput frame path (one dispatch, stacked
+    [f, H, W, 3] output) — runs the same trajectory BITWISE as f
+    sequential run_frame(k) calls.  Frame bytes are compared at ±1: the
+    raster's f32->uint8 colormap can land exactly on a rounding boundary,
+    and two separately-compiled XLA programs may round such a pixel
+    differently (observed on XLA:CPU: 1-2 pixels per 8k, |Δ|=1, with the
+    dense state planes still bitwise equal)."""
+    state = init_grid(16, 16, 0.04)
+    a = verlet_solver.Session(state, PARAMS, CFG, GRID)
+    imgs = np.asarray(a.run_frames(3, substeps=8, px_per_cell=1))
+    assert imgs.dtype == np.uint8
+    assert imgs.shape == (3, GRID.ny, GRID.nx, 3)
+    b = verlet_solver.Session(state, PARAMS, CFG, GRID)
+    for i in range(3):
+        seq = np.asarray(b.run_frame(substeps=8, px_per_cell=1))
+        d = np.abs(imgs[i].astype(np.int16) - seq.astype(np.int16))
+        assert int(d.max()) <= 1 and float((d > 0).mean()) < 1e-3
+    assert int(a.sim.step) == int(b.sim.step) == 24
+    np.testing.assert_array_equal(np.asarray(a.sim.xd), np.asarray(b.sim.xd))
+    np.testing.assert_array_equal(np.asarray(a.sim.vxd),
+                                  np.asarray(b.sim.vxd))
+
+
 def test_session_kick_matches_particle_impulse():
     """Session.kick applies the reference's drag impulse directly on the
     resident dense state — identical to extracting, applying the
