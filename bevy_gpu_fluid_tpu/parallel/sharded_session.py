@@ -140,22 +140,42 @@ class ShardedSession:
                                    None, length=k)[0]
                 return sim, frame_fn(sim)
 
-            self._frames[key] = (frame_fn, run_frame)
+            @partial(jax.jit, static_argnums=(1, 2))
+            def run_frames(sim, f, k):
+                def body(s, _):
+                    s = jax.lax.scan(lambda s2, _: (self._step(s2), None),
+                                     s, None, length=k)[0]
+                    return s, frame_fn(s)
+                return jax.lax.scan(body, sim, None, length=f)
+
+            self._frames[key] = (frame_fn, run_frame, run_frames)
         return self._frames[key]
 
     def run_frame(self, substeps: int = 16, px_per_cell: int = 2,
                   mode: str = "density"):
         """substeps + per-slab raster strips in ONE dispatch; returns the
         assembled uint8 [H, W, 3] frame (W spans every device's slab)."""
-        _, run_frame = self._frame_fns(px_per_cell, mode)
+        _, run_frame, _ = self._frame_fns(px_per_cell, mode)
         self.sim, img = run_frame(self.sim, substeps)
         if self._sync:
             jax.block_until_ready(img)
         return img
 
+    def run_frames(self, n_frames: int, substeps: int = 16,
+                   px_per_cell: int = 2, mode: str = "density"):
+        """``n_frames`` frames in ONE multi-device dispatch (the batched
+        throughput path — see ``verlet_solver.Session.run_frames``):
+        stacked uint8 ``[n_frames, H, W, 3]``, same trajectory bitwise as
+        sequential ``run_frame`` calls, frame bytes to ±1 rounding."""
+        _, _, run_frames = self._frame_fns(px_per_cell, mode)
+        self.sim, imgs = run_frames(self.sim, n_frames, substeps)
+        if self._sync:
+            jax.block_until_ready(imgs)
+        return imgs
+
     def frame(self, px_per_cell: int = 2, mode: str = "density"):
         """Raster only (no stepping) from the resident state."""
-        frame_fn, _ = self._frame_fns(px_per_cell, mode)
+        frame_fn, _, _ = self._frame_fns(px_per_cell, mode)
         img = frame_fn(self.sim)
         if self._sync:
             jax.block_until_ready(img)

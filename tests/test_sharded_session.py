@@ -80,6 +80,22 @@ def test_frame_spans_all_slabs(sess2):
     assert s.step == step0 + 2
 
 
+def test_run_frames_batched(sess2):
+    """Batched multi-frame dispatch: stacked [f, H, W, 3] strips assembled
+    across slabs, stepping f*substeps total (the bitwise batched-vs-
+    sequential property is pinned single-chip in test_session.py; the
+    mechanism — scan of step+raster — is identical here)."""
+    s, _ = sess2
+    step0 = s.step
+    imgs = s.run_frames(2, substeps=2)
+    assert imgs.dtype == jnp.uint8 and imgs.ndim == 4
+    assert imgs.shape[0] == 2 and imgs.shape[3] == 3
+    W = s.spec.n_devices * s.spec.nx_local * 2     # px_per_cell=2
+    assert imgs.shape[2] == W
+    assert s.step == step0 + 4
+    assert np.asarray(imgs[1]).sum() > 0
+
+
 def test_runtime_validator_passes(sess2):
     """The reference's in-engine rho/p/acc gate (buffers.rs:564-567) holds
     for the multi-chip run at its enforced tolerances."""
