@@ -802,13 +802,24 @@ from ..ops.reslot import block_kmax3  # shared per-dy j-slot loop bounds
 
 def density_pallas(xd, yd, params: FluidParams, grid: GridSpec2D,
                    interpret: bool | None = None,
-                   adaptive: bool = True, occ=None) -> jax.Array:
+                   adaptive: bool = True, occ=None,
+                   rho_out=None) -> jax.Array:
     """Fused density stencil over the dense grid. Returns rho_d.
 
     ``occ`` optionally supplies precomputed ``block_kmax3`` bounds: the
     occupancy pattern is a function of the SLOT STRUCTURE only, which is
     frozen between rebins, so the verlet solver computes it once per rebin
-    instead of paying a full-array reduction per kernel call."""
+    instead of paying a full-array reduction per kernel call.
+
+    ``rho_out`` optionally supplies a DEAD rho plane whose buffer the
+    output is written over (``input_output_aliases``) — the verlet step
+    recomputes rho from scratch every step, so the carried ``rho_d`` is
+    dead the moment the step starts and its buffer is free real estate.
+    At the HBM ceiling this sheds one full plane-footprint from the step
+    peak (1.4 GiB at 160M particles; the difference between the two-kernel
+    tail fitting and faulting — measured: the 160M segmented dispatch
+    RESOURCE_EXHAUSTs without it).  The kernel never reads it; the caller
+    must not use the value afterwards."""
     if interpret is None:
         interpret = _interpret_default()
     tb = grid.row_block
@@ -820,27 +831,41 @@ def density_pallas(xd, yd, params: FluidParams, grid: GridSpec2D,
         occ = block_kmax3(xd, grid)
     nslots = 2 if dbuf else 1   # single-buffered scratch halves scoped VMEM
     slab = pltpu.VMEM((nslots, tb + 2, grid.cap, grid.nx_pad), jnp.float32)
+    in_specs = [
+        pl.BlockSpec((1, 8), lambda r: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((3, nb), lambda r: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    operands = [_params_vec(params), occ, xd, yd]
+    alias = {}
+    if rho_out is not None:
+        # dead-plane operand, aliased to the output; the kernel ignores it
+        # (a wrapper drops the ref so _density_kernel's signature is
+        # untouched and its compiled body is identical)
+        inner = kernel
+        kernel = lambda pr, oc, xh, yh, _dead, rho_ref, xs, ys, sems: \
+            inner(pr, oc, xh, yh, rho_ref, xs, ys, sems)
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        operands.append(rho_out)
+        alias = {4: 0}
     rho = pl.pallas_call(
         kernel,
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((1, 8), lambda r: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((3, nb), lambda r: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tb, grid.cap, grid.nx_pad),
                                lambda r: (r + 1, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(xd.shape, jnp.float32),
         scratch_shapes=[slab, slab,
                         pltpu.SemaphoreType.DMA((nslots, 2))],
+        input_output_aliases=alias,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(_params_vec(params), occ, xd, yd)
+    )(*operands)
     # The grid writes interior blocks only, but the forces kernel's halo
     # window READS rho at rows tb-1 and (nb+1)*tb..+1 — inside the outer
     # ghost blocks this kernel never writes.  Position fields are
@@ -1014,9 +1039,9 @@ def make_stencils(grid: GridSpec2D, interpret: bool | None = None,
     """Stencil pair pluggable into grid_solver's step glue.  Both fns
     accept an optional ``occ=`` keyword (precomputed block_kmax3 bounds);
     callers that don't pass it get a per-call recompute."""
-    def density_fn(xd, yd, params, occ=None):
+    def density_fn(xd, yd, params, occ=None, rho_out=None):
         return density_pallas(xd, yd, params, grid, interpret, adaptive,
-                              occ=occ)
+                              occ=occ, rho_out=rho_out)
 
     def forces_fn(xd, yd, vxd, vyd, rho_d, params, occ=None):
         return forces_pallas(xd, yd, vxd, vyd, rho_d, params, grid,

@@ -584,6 +584,16 @@ def _build_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
         density_fn, _ = pallas_solver.make_stencils(grid)
     else:
         density_fn, forces_fn = stencils
+    # the carried rho_d is recomputed from scratch every step, so the old
+    # plane is dead at step start — stencils that expose ``rho_out=``
+    # (pallas density does) write the new rho over its buffer, shedding one
+    # plane-footprint from the step's HBM peak (decides fit at 160M)
+    import inspect
+    try:
+        _density_aliases = "rho_out" in inspect.signature(
+            density_fn).parameters
+    except (TypeError, ValueError):
+        _density_aliases = False
     if reslot is None:
         reslot = reslot_ops.make_reslot(
             grid, use_pallas=not reslot_ops._interpret_default())
@@ -719,7 +729,11 @@ def _build_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
                 sim, xd=xd, yd=yd, vxd=vxd, vyd=vyd, rho_d=rho_d,
                 disp2=disp2, age=sim.age + 1, step=sim.step + 1)
 
-        rho_d = density_fn(sim.xd, sim.yd, params, occ=sim.occ)
+        if _density_aliases:
+            rho_d = density_fn(sim.xd, sim.yd, params, occ=sim.occ,
+                               rho_out=sim.rho_d)
+        else:
+            rho_d = density_fn(sim.xd, sim.yd, params, occ=sim.occ)
 
         if fused:
             xd, yd, vxd, vyd, disp2 = pallas_solver.forces_integrate_pallas(

@@ -119,3 +119,39 @@ def test_tb4_matches_tb8(monkeypatch):
             np.asarray(getattr(ga, f)), np.asarray(getattr(gb, f)),
             err_msg=f"tb=4 {f} != tb=8")
     assert a.overflow == 0 and b.overflow == 0
+
+
+def test_density_rho_out_alias_bitwise():
+    """``density_pallas(rho_out=dead)`` writes the new rho over the dead
+    plane's buffer (input_output_aliases) — the HBM-wall lever that sheds
+    one plane-footprint from the step peak at >=160M particles.  The alias
+    must never change a value: bitwise vs the fresh-output call, both at
+    the kernel level and through 25 full two-kernel Session steps."""
+    import jax.numpy as jnp
+
+    state = init_grid(24, 24, 0.04)
+    sim = verlet_solver.init_dense(state, VGRID)
+    occ = reslot_ops.block_kmax3(sim.xd, VGRID)
+    fresh = pallas_solver.density_pallas(
+        sim.xd, sim.yd, PARAMS, VGRID, interpret=True, occ=occ)
+    dead = jnp.full_like(fresh, 123.0)  # garbage: must be fully overwritten
+    aliased = pallas_solver.density_pallas(
+        sim.xd, sim.yd, PARAMS, VGRID, interpret=True, occ=occ,
+        rho_out=dead)
+    np.testing.assert_array_equal(np.asarray(aliased), np.asarray(fresh))
+
+    # step-level: custom two-kernel stencils alias by default (make_stencils
+    # exposes rho_out); hiding the kwarg disables it — trajectories bitwise
+    st = pallas_solver.make_stencils(VGRID, interpret=True)
+    d0, f0 = st
+    hidden = (lambda xd, yd, p, occ=None: d0(xd, yd, p, occ=occ), f0)
+    a = verlet_solver.Session(init_grid(24, 24, 0.04), PARAMS, CFG, VGRID,
+                              stencils=st)
+    b = verlet_solver.Session(init_grid(24, 24, 0.04), PARAMS, CFG, VGRID,
+                              stencils=hidden)
+    a.run(25)
+    b.run(25)
+    for f in ("xd", "yd", "vxd", "vyd", "rho_d"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a.sim, f)), np.asarray(getattr(b.sim, f)),
+            err_msg=f"rho_out alias changed {f}")
