@@ -553,26 +553,33 @@ def taken_mask(code: jax.Array, cap: int) -> jax.Array:
     fori-over-shifts + broadcast-any memory shape that fixed the >96M
     recovery fault (see verlet_solver._spill_recover)."""
     R, _, C = code.shape
-    padded = jnp.pad(code, ((1, 1), (0, 0), (1, 1)),
-                     constant_values=_CODE_EMPTY)
     kiota = jnp.arange(cap, dtype=jnp.int32)[None, :, None]
 
-    def _body(i, taken):
-        # iterate (shift s, target slot k) pairs; win[rs, 0, cs] =
+    def _body(k, taken):
+        # Per TARGET slot k: slice its [R,1,C] code plane, halo-pad only
+        # that slice, and test the 9 shifted windows; win[rs, 0, cs] =
         # code[rs + s//3 - 1, k, cs + s%3 - 1]: the code of target slot
         # (rs+dy, k, cs+dx).  It routed source (rs, kj, cs) iff it equals
         # _code_of(kj, -dx, -dy) — the code encodes the offset FROM target
-        # TO source, so enc = kj*9 + (2 - s%3)*3 + (2 - s//3).  Slicing ONE
-        # target slot per iteration keeps every temp plane-sized ([R,cap,C]
-        # bool, [R,1,C] int32) — the 4D [R,cap,cap,C] broadcast-any this
-        # replaces was a ~2.2 GiB static conditional-arena allocation at
-        # 128M, enough to crowd the rebin dispatch out of HBM.
-        s, k = i // cap, i % cap
-        win = jax.lax.dynamic_slice(padded, (s // 3, k, s % 3), (R, 1, C))
-        enc = kiota * 9 + (2 - s % 3) * 3 + (2 - s // 3)
-        return taken | (win == enc)
+        # TO source, so enc = kj*9 + (2 - s%3)*3 + (2 - s//3).  Slicing the
+        # slot BEFORE padding keeps every temp <= plane-sized ([R,cap,C]
+        # bool accumulator, [R,1,C] int32 slices): a full-plane halo pad
+        # (+ its remat copy) was ~2.8 GiB of the rebin dispatch's HLO
+        # temps at 160M — the difference between the planar rebin fitting
+        # HBM (~13.9 GiB) and faulting (16.74 GiB measured).  The earlier
+        # 4D [R,cap,cap,C] broadcast-any was worse still (~2.2 GiB static
+        # conditional-arena at 128M).
+        slot = jax.lax.dynamic_slice(code, (0, k, 0), (R, 1, C))
+        pslot = jnp.pad(slot, ((1, 1), (0, 0), (1, 1)),
+                        constant_values=_CODE_EMPTY)
+        for s in range(9):
+            win = jax.lax.slice(pslot, (s // 3, 0, s % 3),
+                                (s // 3 + R, 1, s % 3 + C))
+            enc = kiota * 9 + (2 - s % 3) * 3 + (2 - s // 3)
+            taken = taken | (win == enc)
+        return taken
 
-    return jax.lax.fori_loop(0, 9 * cap, _body,
+    return jax.lax.fori_loop(0, cap, _body,
                              jnp.zeros(code.shape, bool))
 
 
