@@ -1,0 +1,94 @@
+"""Compile-only HBM accounting for the very-large-N programs.
+
+AOT-lowers the HBM-wall posture's programs (segmented ``step_until``,
+``rebin_one``) — and optionally the standard ``run_k`` scan — at a given N
+WITHOUT allocating any state (shapes come from ``jax.eval_shape`` on the
+init), then prints XLA's ``memory_analysis`` per program: argument /
+output / temp / alias bytes.  This is how a RESOURCE_EXHAUSTED at the
+ceiling is attributed to a specific program and a specific temp budget
+instead of guessed at (the 160M fault: bench_scale's first segmented
+dispatch).
+
+  python tools/probe_hbm.py --n 160000000
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+from functools import partial
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+
+import bevy_gpu_fluid_tpu as bgf
+from bevy_gpu_fluid_tpu.models import verlet_solver
+
+
+def _report(name: str, compiled) -> None:
+    m = compiled.memory_analysis()
+    gib = 2**30
+    print(f"{name}:")
+    print(f"  argument {m.argument_size_in_bytes / gib:.2f} GiB  "
+          f"output {m.output_size_in_bytes / gib:.2f} GiB  "
+          f"alias {m.alias_size_in_bytes / gib:.2f} GiB  "
+          f"TEMP {m.temp_size_in_bytes / gib:.2f} GiB")
+    live = (m.argument_size_in_bytes + m.output_size_in_bytes
+            + m.temp_size_in_bytes - m.alias_size_in_bytes)
+    print(f"  peak live (arg+out+temp-alias) ~ {live / gib:.2f} GiB",
+          flush=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=160_000_000)
+    ap.add_argument("--skin", type=float, default=1.75)
+    ap.add_argument("--standard", action="store_true",
+                    help="also compile the standard run_k scan program")
+    args = ap.parse_args()
+
+    side = int(math.isqrt(args.n))
+    n = side * side
+    extent = side * 0.04
+    params = bgf.FluidParams.demo()
+    cfg = bgf.IntegrateConfig.create(x_min=-1.0, x_max=extent + 1.0)
+    grid = verlet_solver.default_grid(0.045, -1.0, extent + 1.0,
+                                      y_max=extent * 1.1 + 1.0,
+                                      skin_factor=args.skin)
+    plane = grid.ny_pad * grid.cap * grid.nx_pad * 4 / 2**30
+    print(f"# n={n} grid {grid.ny_pad}x{grid.cap}x{grid.nx_pad} "
+          f"plane={plane:.2f} GiB resident(8)={8 * plane:.2f} GiB",
+          flush=True)
+
+    sess = verlet_solver.Session.__new__(verlet_solver.Session)
+    sess._setup(params, cfg, grid, n, None, 64, None,
+                donate=True, recovery=True)
+    print(f"# posture: segmented={sess.segmented} "
+          f"planar_rebin={sess.planar_rebin}", flush=True)
+
+    sim_shapes = jax.eval_shape(
+        partial(verlet_solver.init_dense_gen, bgf.lattice_gen(side, 0.04),
+                n, grid=grid, n_chunks=16,
+                spill_cap=verlet_solver.SPILL_CAP, collect_spill=True))
+
+    step_until, rebin_one = sess._segmented_build()
+    k_shape = jax.ShapeDtypeStruct((), jnp.int32)
+    _report("step_until (segmented while_loop, donated)",
+            step_until.lower(sim_shapes, k_shape).compile())
+    _report("rebin_one (planar rebin, donated)",
+            rebin_one.lower(sim_shapes).compile())
+    if args.standard:
+        _report("run_k(150) (standard scan w/ rebin cond, donated)",
+                sess._run_k.lower(sim_shapes, 150).compile())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
