@@ -385,6 +385,36 @@ def _skin(params: FluidParams, grid: GridSpec2D):
     return (grid.cell_size - params.h) * 0.5
 
 
+def _first_k_flat(mask: jax.Array, k: int) -> jax.Array:
+    """First ``k`` set positions of a flat bool array, ascending, padded
+    with ``mask.size`` — exactly ``jnp.nonzero(mask, size=k,
+    fill_value=mask.size)[0]`` but without its two [total]-sized int32
+    temps (the bool cast + cumsum), which at 160M particles are 2.76 GiB
+    of the recovery rebin's HLO temps — most of the difference between
+    the rebin dispatch fitting HBM and RESOURCE_EXHAUSTED (probe_hbm:
+    recovery machinery = 3.97 of the 5.70 GiB rebin TEMP).
+
+    Hierarchical: block-any over B-element blocks, take the first <=k
+    blocks containing any set bit (ascending block order — the first k
+    set bits live in the first <=k such blocks), gather them, and run
+    one small nonzero over the gathered k*B elements.  Temps are
+    O(total/B) bool + O(k*B) int32 (a few MB at k=256)."""
+    total = mask.shape[0]
+    B = 1024
+    while total % B:
+        B //= 2
+    nb = total // B
+    blk = mask.reshape(nb, B)
+    bpos = jnp.nonzero(blk.any(axis=1), size=k, fill_value=nb)[0]
+    bv = bpos < nb
+    bsf = jnp.minimum(bpos, nb - 1)
+    g = blk[bsf] & bv[:, None]
+    lpos = jnp.nonzero(g.reshape(-1), size=k, fill_value=k * B)[0]
+    lv = lpos < k * B
+    lsf = jnp.minimum(lpos, k * B - 1)
+    return jnp.where(lv, bsf[lsf // B] * B + lsf % B, total)
+
+
 def _spill_recover(ops, *, grid: GridSpec2D, n: int, vmax2: float):
     """Overflow recovery at a rebin (runs inside lax.cond, only when a drop
     happened this rebin or the spill buffer is non-empty):
@@ -445,7 +475,7 @@ def _spill_recover(ops, *, grid: GridSpec2D, n: int, vmax2: float):
     pre = pidx_d.reshape(-1)
     total = pre.shape[0]
     dropped = (pre >= 0) & ~found.reshape(-1)
-    dpos = jnp.nonzero(dropped, size=K, fill_value=total)[0]
+    dpos = _first_k_flat(dropped, K)
     dv = dpos < total
     dsf = jnp.minimum(dpos, total - 1)
     ndx = jnp.where(dv, pxd.reshape(-1)[dsf], FAR)
@@ -628,7 +658,7 @@ def _build_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
                 pre = pidx_d.reshape(-1)
                 total = pre.shape[0]
                 dropped = (pre >= 0) & ~taken.reshape(-1)
-                dpos = jnp.nonzero(dropped, size=K, fill_value=total)[0]
+                dpos = _first_k_flat(dropped, K)
                 dv = dpos < total
                 dsf = jnp.minimum(dpos, total - 1)
                 drops = (jnp.where(dv, pxd.reshape(-1)[dsf], FAR),

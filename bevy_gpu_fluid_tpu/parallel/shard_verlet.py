@@ -325,8 +325,11 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
         gone = (pre >= 0) & ~found.reshape(-1)
 
         def collect(mask_flat, planes_flat, count_hint):
-            pos = jnp.nonzero(mask_flat, size=count_hint,
-                              fill_value=mask_flat.shape[0])[0]
+            # hierarchical first-K (verlet_solver._first_k_flat): the flat
+            # nonzero's two [total]-sized int32 temps dominate the recovery
+            # rebin's HLO temps at large slabs
+            from ..models.verlet_solver import _first_k_flat
+            pos = _first_k_flat(mask_flat, count_hint)
             ok = pos < mask_flat.shape[0]
             sf = jnp.minimum(pos, mask_flat.shape[0] - 1)
             out = [jnp.where(ok, p[sf], fill)

@@ -52,6 +52,9 @@ def main() -> int:
     ap.add_argument("--skin", type=float, default=1.75)
     ap.add_argument("--standard", action="store_true",
                     help="also compile the standard run_k scan program")
+    ap.add_argument("--no-recovery", action="store_true",
+                    help="compile with recovery=False (isolates the spill "
+                    "collect/admit machinery's share of the rebin temps)")
     args = ap.parse_args()
 
     side = int(math.isqrt(args.n))
@@ -69,7 +72,7 @@ def main() -> int:
 
     sess = verlet_solver.Session.__new__(verlet_solver.Session)
     sess._setup(params, cfg, grid, n, None, 64, None,
-                donate=True, recovery=True)
+                donate=True, recovery=not args.no_recovery)
     print(f"# posture: segmented={sess.segmented} "
           f"planar_rebin={sess.planar_rebin}", flush=True)
 
