@@ -1046,6 +1046,11 @@ def make_stencils(grid: GridSpec2D, interpret: bool | None = None,
     def forces_fn(xd, yd, vxd, vyd, rho_d, params, occ=None):
         return forces_pallas(xd, yd, vxd, vyd, rho_d, params, grid,
                              interpret, adaptive, occ=occ)
+    # explicit capability flag: _build_step aliases the dead rho_d plane
+    # over the density output (the HBM-ceiling lever) only when the stencil
+    # declares support — signature sniffing alone loses the alias silently
+    # for wrapped stencils (functools.partial / jit / **kwargs; ADVICE r4)
+    density_fn.supports_rho_out = True
     return density_fn, forces_fn
 
 

@@ -398,12 +398,20 @@ def _first_k_flat(mask: jax.Array, k: int) -> jax.Array:
     blocks containing any set bit (ascending block order — the first k
     set bits live in the first <=k such blocks), gather them, and run
     one small nonzero over the gathered k*B elements.  Temps are
-    O(total/B) bool + O(k*B) int32 (a few MB at k=256)."""
+    O(total/B) bool + O(k*B) int32 (a few MB at k=256).  Non-multiple-of-B
+    sizes are padded with False up to B (padding positions can never be
+    selected, and the fill sentinel stays the ORIGINAL ``total``) — B must
+    not shrink with ragged sizes or the [total]-sized temps this function
+    exists to avoid come back."""
     total = mask.shape[0]
     B = 1024
-    while total % B:
-        B //= 2
-    nb = total // B
+    if total == 0:
+        return jnp.full((k,), 0, dtype=jnp.int32)
+    pad = -total % B
+    if pad:
+        mask = jnp.concatenate(
+            [mask, jnp.zeros((pad,), dtype=mask.dtype)])
+    nb = (total + pad) // B
     blk = mask.reshape(nb, B)
     bpos = jnp.nonzero(blk.any(axis=1), size=k, fill_value=nb)[0]
     bv = bpos < nb
@@ -618,12 +626,17 @@ def _build_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
     # plane is dead at step start — stencils that expose ``rho_out=``
     # (pallas density does) write the new rho over its buffer, shedding one
     # plane-footprint from the step's HBM peak (decides fit at 160M)
-    import inspect
-    try:
-        _density_aliases = "rho_out" in inspect.signature(
-            density_fn).parameters
-    except (TypeError, ValueError):
-        _density_aliases = False
+    # prefer the explicit capability flag (make_stencils sets it; survives
+    # functools.partial / jit wrappers, which hide the signature — ADVICE
+    # r4); fall back to signature sniffing for hand-rolled stencils
+    _density_aliases = getattr(density_fn, "supports_rho_out", None)
+    if _density_aliases is None:
+        import inspect
+        try:
+            _density_aliases = "rho_out" in inspect.signature(
+                density_fn).parameters
+        except (TypeError, ValueError):
+            _density_aliases = False
     if reslot is None:
         reslot = reslot_ops.make_reslot(
             grid, use_pallas=not reslot_ops._interpret_default())

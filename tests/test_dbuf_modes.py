@@ -155,3 +155,16 @@ def test_density_rho_out_alias_bitwise():
         np.testing.assert_array_equal(
             np.asarray(getattr(a.sim, f)), np.asarray(getattr(b.sim, f)),
             err_msg=f"rho_out alias changed {f}")
+
+
+def test_density_capability_flag():
+    """make_stencils declares rho_out support explicitly — _build_step keys
+    the HBM-ceiling alias off this attribute, so wrapping the stencil (jit /
+    partial with **kwargs) can re-attach it instead of silently losing the
+    alias to signature sniffing (ADVICE r4)."""
+    import functools
+    d, _ = pallas_solver.make_stencils(VGRID, interpret=True)
+    assert d.supports_rho_out is True
+    w = functools.partial(d)        # wrappers can carry the flag forward
+    w.supports_rho_out = d.supports_rho_out
+    assert w.supports_rho_out

@@ -170,3 +170,20 @@ def test_session_donate_runs_and_matches():
     np.testing.assert_array_equal(np.asarray(sa.x), np.asarray(sb.x))
     np.testing.assert_array_equal(np.asarray(sa.vx), np.asarray(sb.vx))
     assert int(b.sim.rebin_count) == int(a.sim.rebin_count)
+
+
+@pytest.mark.parametrize("total", [0, 1, 7, 1000, 1024, 1025, 4096, 5555])
+def test_first_k_flat_ragged_sizes(total):
+    """_first_k_flat must agree with jnp.nonzero(size=k, fill=total) at ANY
+    size — including sizes that are not a multiple of its 1024 block (it
+    pads with False rather than shrinking the block, which would silently
+    reintroduce the full-[total] temps it exists to avoid; ADVICE r4)."""
+    import numpy as np
+    rng = np.random.default_rng(total)
+    k = 16
+    mask = jnp.asarray(rng.random(total) < 0.01) if total else \
+        jnp.zeros((0,), bool)
+    got = np.asarray(verlet_solver._first_k_flat(mask, k))
+    want = np.asarray(jnp.nonzero(mask, size=k, fill_value=total)[0]) \
+        if total else np.zeros(k, np.int32)
+    np.testing.assert_array_equal(got, want)

@@ -34,6 +34,10 @@ from bevy_gpu_fluid_tpu.models import verlet_solver
 
 def _report(name: str, compiled) -> None:
     m = compiled.memory_analysis()
+    if m is None:   # some CPU/plugin backends don't implement it
+        print(f"{name}: memory_analysis unavailable on this backend",
+              flush=True)
+        return
     gib = 2**30
     print(f"{name}:")
     print(f"  argument {m.argument_size_in_bytes / gib:.2f} GiB  "
