@@ -155,15 +155,19 @@ def bench_fps(plan=(10_000, 5_041, 1_024), seconds: float = 3.0,
     average frame rate to stderr.  Each frame = ``substeps`` sim steps (at
     dt=5e-4, 16 substeps per 60 Hz frame is real-time) + an on-device raster.
     Unlike the reference harness, every frame here really integrates the
-    scene.  Reported twice: frames fully materialized on-device, and frames
-    pulled to host.  Both loops are PIPELINED through render.pump.FramePump
-    (one frame in flight): the ~27 ms tunnel dispatch round-trip and the
-    ~27 ms host transfer overlap the next frame's compute instead of
-    serializing with it — every counted frame is still fully materialized
-    (host np bytes / block_until_ready), one frame late."""
+    scene.  The engine is the RESIDENT verlet facade (Simulation holds a
+    dense Session — no per-frame re-binning or extraction); frames are
+    measured in both raster modes: 'density' per-particle splats (the
+    reference's sprite analog, 512-wide) and 'field' (the scalable
+    grid-aligned density-field raster — the production render).  Reported
+    twice each: frames fully materialized on-device, and frames pulled to
+    host.  All loops are PIPELINED through render.pump.FramePump (one
+    frame/batch in flight): the ~27 ms tunnel dispatch round-trip and the
+    host transfer overlap the next frame's compute instead of serializing
+    with it — every counted frame is still fully materialized (host np
+    bytes / block_until_ready), one frame late."""
     import numpy as np
-    from bevy_gpu_fluid_tpu import Simulation, init_grid, FluidParams, \
-        IntegrateConfig
+    from bevy_gpu_fluid_tpu import Simulation
     from bevy_gpu_fluid_tpu.models import verlet_solver
     from bevy_gpu_fluid_tpu.render.pump import FramePump
     for n in plan:
@@ -176,41 +180,45 @@ def bench_fps(plan=(10_000, 5_041, 1_024), seconds: float = 3.0,
         sim = Simulation(state, bgf.FluidParams.demo(), cfg, grid,
                          solver="verlet", raster_width=512,
                          y_view_max=extent * 1.1 + 1.0)
-        jax.block_until_ready(sim.run_frame(substeps))   # compile
 
-        def loop(pull: bool) -> float:
+        def loop(pull: bool, mode: str) -> float:
+            jax.block_until_ready(sim.run_frame(substeps, mode))  # compile
             pump = FramePump(pull=pull)
             frames = 0
             t0 = time.time()
             while time.time() - t0 < seconds:
-                if pump.push(sim.run_frame(substeps)) is not None:
+                if pump.push(sim.run_frame(substeps, mode)) is not None:
                     frames += 1
             if pump.flush() is not None:
                 frames += 1
             return frames / (time.time() - t0)
 
-        def loop_batched(pull: bool, f: int = 32) -> float:
+        def loop_batched(pull: bool, mode: str, f: int = 32) -> float:
             """Throughput mode: f frames per dispatch (Simulation.run_frames
             — same frame bytes, stacked), pipelined one BATCH in flight.
-            The ~27 ms tunnel dispatch + ~27 ms host-pull latencies amortize
-            over f frames instead of taxing each one."""
-            jax.block_until_ready(sim.run_frames(f, substeps))   # compile
+            The ~27 ms tunnel dispatch + host-pull latencies amortize over
+            f frames instead of taxing each one."""
+            jax.block_until_ready(sim.run_frames(f, substeps, mode))
             pump = FramePump(pull=pull)
             frames = 0
             t0 = time.time()
             while time.time() - t0 < seconds:
-                if pump.push(sim.run_frames(f, substeps)) is not None:
+                if pump.push(sim.run_frames(f, substeps, mode)) is not None:
                     frames += f
             if pump.flush() is not None:
                 frames += f
             return frames / (time.time() - t0)
 
-        dev, host = loop(False), loop(True)
-        bdev, bhost = loop_batched(False), loop_batched(True)
+        dev, host = loop(False, "density"), loop(True, "density")
+        bdev, bhost = loop_batched(False, "density"), \
+            loop_batched(True, "density")
+        fdev, fhost = loop_batched(False, "field"), \
+            loop_batched(True, "field")
         print(f"# fps: {sim.state.n} particles x {substeps} substeps/frame "
-              f"-> {dev:.1f} FPS on-device, {host:.1f} FPS incl. host pull; "
-              f"batched x32/dispatch: {bdev:.1f} on-device, {bhost:.1f} "
-              f"incl. host pull "
+              f"(resident Session engine) -> splat per-frame {dev:.1f} "
+              f"on-device / {host:.1f} incl. pull; splat batched x32: "
+              f"{bdev:.1f} / {bhost:.1f}; field batched x32: {fdev:.1f} / "
+              f"{fhost:.1f} "
               f"(reference GPU bridge, no integration: 188.0 @10k / "
               f"191.3 @5k / 202.8 @1k)", file=sys.stderr)
 

@@ -11,11 +11,18 @@ stateful API and keeps the step counter (the reference's ``SimStep``).
     sim.run(100)                            # 100 steps on-device
     sim.kick(1.0, 0.3, dir_x=0.6, dir_y=0.45)   # mouse-drag impulse
     frame = sim.frame()                     # on-device raster -> uint8 RGB
+
+With ``solver="verlet"`` (the default) the facade holds a RESIDENT
+``verlet_solver.Session`` internally: the dense slot state stays on device
+across ``run``/``run_frame``/``run_frames``/``kick`` calls (no per-call
+re-binning or extraction — the round-4 ~20x frame-path cliff), and the
+per-particle ``FluidState`` materializes lazily on ``.state`` access.
 """
 
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Literal
 
 import jax
@@ -34,12 +41,14 @@ class Simulation:
                                  "golden"] = "verlet",
                  raster_width: int = 512, y_view_max: float | None = None,
                  validate_every: int = 0):
+        self._session = None
+        self._dirty = False
         self.state = state
         self.params = params
         self.cfg = cfg
         self.grid = grid
         self.solver = solver
-        self.overflow = 0
+        self._overflow = 0
         self.validate_every = validate_every
         self.last_parity = None
         self._raster_width = raster_width
@@ -70,7 +79,63 @@ class Simulation:
             self._y_view_max if self._y_view_max is not None
             else float(cfg.floor_y) + grid.ny * grid.cell_size,
             width=self._raster_width)
+        spec = self.spec
 
+        self._frame = jax.jit(
+            lambda s, mode: raster.to_rgb8(
+                raster.render(s, params, self.spec, mode)),
+            static_argnums=1)
+
+        if solver == "verlet":
+            # RESIDENT engine: the dense slot state lives on device across
+            # calls (the Session is the production shape — zero per-call
+            # re-binning/extraction); splat-mode frames extract + render at
+            # the SAME 512-wide spec geometry as the other solvers, inside
+            # one dispatch, so interactive pointer mapping is unchanged.
+            self._session = sess = verlet_solver.Session(
+                self._state, params, cfg, grid)
+            self._dirty = True          # dense re-bin reorders f32 sums
+            pure_step, rebin_fn, need_fn = sess._parts
+            n = self._state.n
+
+            def stepf(s):
+                s = jax.lax.cond(need_fn(s), rebin_fn, lambda t: t, s)
+                return pure_step(s)
+
+            def steps(sim, k):
+                return jax.lax.scan(lambda s, _: (stepf(s), None), sim,
+                                    None, length=k)[0]
+
+            def to_state(sim):
+                x, y, vx, vy, rho = verlet_solver.extract_fields(
+                    sim, grid, params, n)
+                return FluidState(
+                    x=x, y=y, vx=vx, vy=vy, ax=jnp.zeros_like(x),
+                    ay=jnp.zeros_like(x), rho=rho,
+                    p=verlet_solver.eos_pressure(rho, params),
+                    step=sim.step)
+
+            @partial(jax.jit, static_argnums=(1, 2))
+            def run_frame_splat(sim, k, mode):
+                sim = steps(sim, k)
+                img = raster.to_rgb8(
+                    raster.render(to_state(sim), params, spec, mode))
+                return sim, img
+
+            @partial(jax.jit, static_argnums=(1, 2, 3))
+            def run_frames_splat(sim, f, k, mode):
+                def body(s, _):
+                    s = steps(s, k)
+                    return s, raster.to_rgb8(
+                        raster.render(to_state(s), params, spec, mode))
+                return jax.lax.scan(body, sim, None, length=f)
+
+            self._run_frame_splat = run_frame_splat
+            self._run_frames_splat = run_frames_splat
+            self._run = None
+            return
+
+        self._session = None
         if solver == "golden":
             self._run = jax.jit(
                 lambda s, n: (golden.multi_step(s, params, cfg, n), None),
@@ -79,19 +144,10 @@ class Simulation:
             self._run = jax.jit(
                 lambda s, n: grid_solver.multi_step(s, params, cfg, grid, n),
                 static_argnums=1)
-        elif solver == "verlet":
-            self._run = jax.jit(
-                lambda s, n: verlet_solver.multi_step(
-                    s, params, cfg, grid, n)[:2],
-                static_argnums=1)
         else:
             self._run = jax.jit(
                 lambda s, n: pallas_solver.multi_step(s, params, cfg, grid, n),
                 static_argnums=1)
-        self._frame = jax.jit(
-            lambda s, mode: raster.to_rgb8(
-                raster.render(s, params, self.spec, mode)),
-            static_argnums=1)
 
         def _run_frame(s, n, mode):
             s, diag = self._run(s, n)
@@ -110,6 +166,37 @@ class Simulation:
         # f frames in one dispatch (throughput mode): transport latency
         # amortizes over the batch — see Session.run_frames
         self._run_frames = jax.jit(_run_frames, static_argnums=(1, 2, 3))
+
+    # ---- state / diagnostics (resident-aware) ---------------------------
+    @property
+    def state(self) -> FluidState:
+        """The per-particle FluidState.  On the resident verlet engine this
+        materializes from the dense slot state ON DEMAND (one dense->[N]
+        scatter) and caches until the next step/kick — repeated access is
+        free, but at very large N prefer the dense-side APIs
+        (``frame(mode='field')``, ``run_frame``) which never materialize."""
+        if self._session is not None and self._dirty:
+            self._state = self._session.state()
+            self._dirty = False
+        return self._state
+
+    @state.setter
+    def state(self, value: FluidState) -> None:
+        self._state = value
+        self._dirty = False
+        if self._session is not None:
+            self._session.reset(value)   # fresh binning, programs reused
+
+    @property
+    def overflow(self) -> int:
+        """Cumulative capacity-overflow count (0 in all standard scenes)."""
+        if self._session is not None:
+            return max(self._overflow, self._session.overflow)
+        return self._overflow
+
+    @overflow.setter
+    def overflow(self, v: int) -> None:
+        self._overflow = v
 
     # ---- scene builders -------------------------------------------------
     @staticmethod
@@ -179,9 +266,13 @@ class Simulation:
         system (reference: src/gpu/buffers.rs:554-695, hook at
         examples/sph2d_cpu_demo.rs:53).  Raises ParityError on violation; the
         last passing report is kept on ``self.last_parity``."""
-        self.state, diag = self._run(self.state, n_steps)
-        if diag is not None:
-            self.overflow = max(self.overflow, int(diag.overflow))
+        if self._session is not None:
+            self._session.run(n_steps)
+            self._dirty = True
+        else:
+            self._state, diag = self._run(self._state, n_steps)
+            if diag is not None:
+                self._overflow = max(self._overflow, int(diag.overflow))
         if self.validate_every > 0:
             self._steps_since_validate += n_steps
             if self._steps_since_validate >= self.validate_every:
@@ -214,22 +305,29 @@ class Simulation:
              impulse: float | None = None) -> None:
         """Inject a drag impulse (reference: apply_drag,
         examples/sph2d_cpu_demo.rs:112-141)."""
+        if self._session is not None:
+            kw = {} if impulse is None else {"impulse": impulse}
+            self._session.kick(x, y, dir_x, dir_y, **kw)
+            self._dirty = True
+            return
         from ..interact import impulse as imp
         kw = {} if impulse is None else {"impulse": impulse}
-        self.state = imp.apply_impulse(self.state, x, y, dir_x, dir_y, **kw)
+        self._state = imp.apply_impulse(self._state, x, y, dir_x, dir_y,
+                                        **kw)
 
     def frame(self, mode: str = "density"):
         """Rasterize the current state on-device; returns uint8 [H, W, 3].
 
         Modes: 'density' / 'const' (per-particle Poly6 splats, like the
         reference's sprites) or 'field' / 'field_const' (the scalable
-        density-field raster — use for N >> 100k).  The field modes bin the
-        state into the dense layout ONCE per distinct state: repeated
-        frames of the same state (e.g. re-rendering after a mode toggle)
-        cost raster-only, not the ~48 ms 1M sort.  (Per-step streaming
-        should still use ``verlet_solver.Session``, which renders straight
-        from its resident dense state with zero binning at all.)"""
+        density-field raster — use for N >> 100k).  On the resident verlet
+        engine the field modes render STRAIGHT from the dense slot state
+        (zero binning, zero extraction — any N); on the other solvers they
+        bin into the dense layout once per distinct state."""
         if mode.startswith("field"):
+            fmode = "const" if mode == "field_const" else "density"
+            if self._session is not None:
+                return self._session.frame(px_per_cell=2, mode=fmode)
             from ..render import raster
             if (self._dense_cache is None
                     or self._dense_cache[0] is not self.state):
@@ -237,15 +335,30 @@ class Simulation:
                                      self._bin_dense(self.state))
             xd, yd = self._dense_cache[1]
             return raster.field_frame(
-                xd, yd, self.params, self.grid, px_per_cell=2,
-                mode="const" if mode == "field_const" else "density")
+                xd, yd, self.params, self.grid, px_per_cell=2, mode=fmode)
         return self._frame(self.state, mode)
 
     def run_frame(self, substeps: int = 16, mode: str = "density"):
-        """Advance ``substeps`` and rasterize, in ONE device dispatch."""
-        self.state, diag, img = self._run_frame(self.state, substeps, mode)
+        """Advance ``substeps`` and rasterize, in ONE device dispatch.
+
+        Splat modes render at the fixed 512-wide ``spec`` geometry; field
+        modes ('field'/'field_const', resident verlet engine) render the
+        grid-aligned density-field raster with no extraction at all."""
+        if self._session is not None:
+            sess = self._session
+            if mode.startswith("field"):
+                img = sess.run_frame(
+                    substeps,
+                    mode="const" if mode == "field_const" else "density")
+            else:
+                sess.sim, img = self._run_frame_splat(sess.sim, substeps,
+                                                      mode)
+            self._dirty = True
+            return img
+        self._state, diag, img = self._run_frame(self._state, substeps,
+                                                 mode)
         if diag is not None:
-            self.overflow = max(self.overflow, int(diag.overflow))
+            self._overflow = max(self._overflow, int(diag.overflow))
         return img
 
     def run_frames(self, n_frames: int, substeps: int = 16,
@@ -258,9 +371,20 @@ class Simulation:
         latency amortizes over the batch.  See
         ``verlet_solver.Session.run_frames`` for the resident-dense
         variant this mirrors."""
-        self.state, imgs, ov = self._run_frames(self.state, n_frames,
-                                                substeps, mode)
-        self.overflow = max(self.overflow, int(ov))
+        if self._session is not None:
+            sess = self._session
+            if mode.startswith("field"):
+                imgs = sess.run_frames(
+                    n_frames, substeps,
+                    mode="const" if mode == "field_const" else "density")
+            else:
+                sess.sim, imgs = self._run_frames_splat(
+                    sess.sim, n_frames, substeps, mode)
+            self._dirty = True
+            return imgs
+        self._state, imgs, ov = self._run_frames(self._state, n_frames,
+                                                 substeps, mode)
+        self._overflow = max(self._overflow, int(ov))
         return imgs
 
     def save(self, path: str) -> None:
@@ -276,10 +400,13 @@ class Simulation:
         Simulation)."""
         from ..utils import checkpoint
         state, params, cfg = checkpoint.load(path)
-        self.state = state
         if params is not None or cfg is not None:
             if params is not None:
                 self.params = params
             if cfg is not None:
                 self.cfg = cfg
+            self._state = state          # _rebuild re-seeds the session
+            self._dirty = False
             self._rebuild()
+        else:
+            self.state = state           # setter re-seeds via reset()

@@ -288,13 +288,17 @@ def _chunk_init_carry(g: GridSpec2D, spill_cap: int):
             jnp.full((spill_cap,), -1, jnp.int32))
 
 
-def _chunk_init_body(g: GridSpec2D, spill_cap: int, collect_spill: bool):
+def _chunk_init_body(g: GridSpec2D, spill_cap: int, collect_spill: bool,
+                     origin=None):
+    """``origin`` optionally overrides the grid's static world origin with
+    traced values (the sharded chunked init passes the per-device slab
+    origin — see parallel/shard_verlet.local_init_chunked)."""
     def body(carry, chunk):
         (xd, yd, vxd, vyd, idx_d, cnt, overflow,
          sx, sy, svx, svy, sidx) = carry
         x, y, vx, vy, idx = chunk
         valid = idx >= 0                       # padding slots are dead
-        cx, cy = cell_coords(x, y, g)
+        cx, cy = cell_coords(x, y, g, origin)
         cid = jnp.where(valid, cx + cy * g.nx, g.num_cells)
 
         # stable within-chunk rank (same machinery as bin_particles)
@@ -976,6 +980,8 @@ class Session:
         # avoidable init-peak (callers under donate=True already treat
         # `state` as consumed — Session is the owner from here on)
         init_donate = (0,) if donate else ()
+        self._spill_cap = spill_cap
+        self._init_chunks = init_chunks
         if init_chunks is not None:
             self.sim = jax.jit(partial(
                 init_dense_chunked, grid=self.grid, n_chunks=init_chunks,
@@ -985,6 +991,21 @@ class Session:
             self.sim = jax.jit(partial(
                 init_dense, grid=self.grid, spill_cap=spill_cap,
                 collect_spill=recovery), donate_argnums=init_donate)(state)
+
+    def reset(self, state: FluidState) -> None:
+        """Re-seed the resident DenseSim from a per-particle FluidState
+        (fresh binning; the deferred-rebin age/skin references restart, the
+        step counter continues from ``state.step``).  Reuses every compiled
+        step/frame program — the Simulation facade's state-setter path."""
+        if state.n != self.n:
+            raise ValueError(f"reset with n={state.n}, Session built for "
+                             f"n={self.n}")
+        init = (init_dense if self._init_chunks is None
+                else partial(init_dense_chunked,
+                             n_chunks=self._init_chunks))
+        self.sim = jax.jit(partial(
+            init, grid=self.grid, spill_cap=self._spill_cap,
+            collect_spill=self._recovery))(state)
 
     @classmethod
     def from_generator(cls, gen, n: int, params: FluidParams,
@@ -1005,6 +1026,8 @@ class Session:
         self._setup(params, cfg, grid, n, stencils, max_age, reslot,
                     donate=donate, recovery=recovery,
                     planar_rebin=planar_rebin, segmented=segmented)
+        self._spill_cap = spill_cap
+        self._init_chunks = init_chunks
         self.sim = jax.jit(partial(
             init_dense_gen, gen, n, grid=grid, n_chunks=init_chunks,
             spill_cap=spill_cap, collect_spill=recovery))()
@@ -1036,6 +1059,9 @@ class Session:
         self.grid = grid
         self.n = n
         self.planar_rebin = planar_rebin
+        self._recovery = recovery
+        self._spill_cap = SPILL_CAP     # __init__/from_generator override
+        self._init_chunks = None
         self._fingerprint = _session_fingerprint(stencils, reslot, max_age,
                                                  recovery)
         pure_step, rebin_fn, need_fn = make_step_parts(
