@@ -149,7 +149,9 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
                              max_age: int = 64, reslot=None,
                              fused: bool = False, interpret=None,
                              n: int | None = None,
-                             spill_cap: int = SPILL_CAP):
+                             spill_cap: int = SPILL_CAP,
+                             planar: bool = False,
+                             init_chunks: int | None = None):
     """Returns (init_fn, step_fn):
     init_fn(ShardedState) -> ShardedDenseSim (jitted)
     step_fn(ShardedDenseSim) -> ShardedDenseSim (jitted)
@@ -173,7 +175,18 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
     (slab exits are impossible under the global bounce box) and the default
     ``reslot`` uses the single-chip clip; a CUSTOM ``reslot`` passed for a
     D=1 mesh must therefore also use the plain [0, nx-1] clip — ghost-
-    column captures would go unmerged."""
+    column captures would go unmerged.
+
+    ``planar=True`` routes the default rebin through the plane-at-a-time
+    reslot (ops/reslot.reslot_planar: select once, then one apply kernel
+    per payload plane) — bit-identical slot assignments and capture
+    columns, but the rebin never holds all five input + five output
+    payload planes at once (the HBM-ceiling mode, the sharded twin of
+    Session(planar_rebin=True)).  ``init_chunks=K`` builds each device's
+    dense planes by scanning K chunk slices of its local particle buffer
+    (O(m/K) sort transients instead of the full-[m] argsort workspace;
+    bitwise-identical result) — the per-device twin of
+    Session(init_chunks=K) for >=~64M particles per device."""
     from ..models import pallas_solver
 
     g = spec.local_grid
@@ -194,13 +207,19 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
         # slab, so captures are impossible and the whole
         # capture/exchange/merge pipeline is skipped (measured: the capture
         # glue made the D=1 rebin branch ~2.9x the flagship's).
-        if D > 1:
-            reslot = reslot_ops.make_reslot(
-                g, use_pallas=not reslot_ops._interpret_default(),
-                clip_lo=-1, clip_hi=g.nx)
+        clip_kw = dict(clip_lo=-1, clip_hi=g.nx) if D > 1 else {}
+        if planar:
+            _interp = reslot_ops._interpret_default() \
+                if interpret is None else interpret
+
+            def reslot(xd, yd, vxd, vyd, idx_d, origin=None):
+                return reslot_ops.reslot_planar(
+                    xd, yd, vxd, vyd, idx_d, g, interpret=_interp,
+                    origin=origin, **clip_kw)
         else:
             reslot = reslot_ops.make_reslot(
-                g, use_pallas=not reslot_ops._interpret_default())
+                g, use_pallas=not reslot_ops._interpret_default(),
+                **clip_kw)
     skin_half = (g.cell_size - params.h) * 0.5
 
     def origin_of(d):
@@ -551,6 +570,46 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
             jnp.where(dv, vx[ds], 0.0), jnp.where(dv, vy[ds], 0.0),
             jnp.where(dv, idx[ds], -1), jnp.int32(0))))
 
+    def local_init_chunked(x, y, vx, vy, idx, alive, step):
+        """``local_init`` with O(m / init_chunks) sort transients per
+        device: scans verlet_solver's chunk-init body over slices of the
+        local particle buffer (the stable within-chunk rank + running
+        cell counts reproduce the sort-based slot assignment EXACTLY, so
+        the dense result is bitwise local_init's — same guarantee as
+        Session(init_chunks=K), tests/test_shard_verlet.py)."""
+        from ..models import verlet_solver as vs
+        x, y, vx, vy, idx, alive = (a.reshape(a.shape[1:])
+                                    for a in (x, y, vx, vy, idx, alive))
+        d = jax.lax.axis_index(AXIS)
+        m = x.shape[0]
+        K = init_chunks
+        c = -(-m // K)
+        pad = K * c - m
+
+        def padf(a, fill):
+            if pad == 0:
+                return a
+            return jnp.concatenate([a, jnp.full((pad,), fill, a.dtype)])
+
+        # dead buffer entries: idx -> -1 is the body's validity test
+        chunks = (padf(jnp.where(alive, x, FAR), FAR).reshape(K, c),
+                  padf(jnp.where(alive, y, FAR), FAR).reshape(K, c),
+                  padf(jnp.where(alive, vx, 0.0), 0.0).reshape(K, c),
+                  padf(jnp.where(alive, vy, 0.0), 0.0).reshape(K, c),
+                  padf(jnp.where(alive, idx, -1), -1).reshape(K, c))
+        body = vs._chunk_init_body(g, spill_cap, n is not None,
+                                   origin=origin_of(d))
+        out, _ = jax.lax.scan(body, vs._chunk_init_carry(g, spill_cap),
+                              chunks)
+        (xd, yd, vxd, vyd, idx_d, _cnt, overflow,
+         sx, sy, svx, svy, sidx) = out
+        r1 = lambda a: a.reshape((1,) + a.shape)
+        return tuple(map(r1, (
+            xd, yd, vxd, vyd, jnp.zeros_like(xd), xd, yd, idx_d,
+            occ_of(xd), jnp.float32(0.0), count_live(xd),
+            jnp.int32(0), overflow, jnp.int32(0), jnp.int32(0),
+            jnp.int32(1), sx, sy, svx, svy, sidx, jnp.int32(0))))
+
     def local_rebin(xd, yd, vxd, vyd, idx_d, overflow, lost, dropped,
                     sx, sy, svx, svy, sidx, readmitted):
         """Per-device rebin body, invoked from step_fn's JIT-LEVEL cond.
@@ -631,7 +690,8 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
 
     dense_specs = (P(AXIS),) * 22
     init_sharded = jax.shard_map(
-        local_init, mesh=mesh,
+        local_init if init_chunks is None else local_init_chunked,
+        mesh=mesh,
         in_specs=(P(AXIS),) * 6 + (P(),),
         out_specs=dense_specs, check_vma=False)
     rebin_sharded = jax.shard_map(

@@ -62,8 +62,19 @@ class ShardedSession:
                  cfg: IntegrateConfig, spec: sh.ShardSpec, mesh=None,
                  fused: bool = True, interpret: bool | None = None,
                  stencils=None, recover: bool = True,
-                 spill_cap: int = shard_verlet.SPILL_CAP, _sim=None,
+                 spill_cap: int = shard_verlet.SPILL_CAP,
+                 planar_rebin: bool | None = None,
+                 init_chunks: int | None = None,
+                 donate: bool = False, _sim=None,
                  _n: int | None = None):
+        """``planar_rebin``/``init_chunks``/``donate`` are the very-
+        large-per-device-N knobs, the sharded twins of Session's (see
+        models/verlet_solver.Session.__init__): plane-at-a-time collective
+        rebin (bit-identical, lower rebin-peak HBM; default None
+        auto-enables near the per-device HBM ceiling), chunked per-device
+        init (O(m/K) sort transients), and donation of the resident sim
+        into ``run``'s dispatch (old and new dense planes never coexist —
+        outside references to a previous ``sess.sim`` are invalidated)."""
         if mesh is None:
             mesh = sh.make_mesh(spec.n_devices)
         self.params = params
@@ -71,13 +82,20 @@ class ShardedSession:
         self.spec = spec
         self.mesh = mesh
         self.n = state.n if state is not None else int(_n)
+        if planar_rebin is None:
+            from ..models.verlet_solver import planar_rebin_default
+            planar_rebin = planar_rebin_default(spec.local_grid)
+        self.planar_rebin = planar_rebin
         init_fn, step_fn = shard_verlet.make_sharded_verlet_step(
             params, cfg, spec, mesh, stencils=stencils, fused=fused,
             interpret=interpret, n=self.n if recover else None,
-            spill_cap=spill_cap)
+            spill_cap=spill_cap, planar=planar_rebin,
+            init_chunks=init_chunks)
         self._step = step_fn
         self._interpret = interpret
         # kwargs needed to rebuild this session from a checkpoint
+        # (planar_rebin is bit-neutral; init_chunks/donate are init/driver
+        # knobs — none enters the fingerprint)
         self._build_kw = dict(fused=fused, interpret=interpret,
                               stencils=stencils, recover=recover,
                               spill_cap=spill_cap)
@@ -85,7 +103,8 @@ class ShardedSession:
         # mismatched continuation (see utils.checkpoint.check_fingerprint)
         self._fingerprint = _sharded_fingerprint(fused, stencils, recover)
 
-        @partial(jax.jit, static_argnums=1)
+        @partial(jax.jit, static_argnums=1,
+                 donate_argnums=(0,) if donate else ())
         def run_k(sim, k):
             return jax.lax.scan(lambda s, _: (step_fn(s), None), sim, None,
                                 length=k)[0]
@@ -121,9 +140,21 @@ class ShardedSession:
 
     # ---- stepping -------------------------------------------------------
 
-    def run(self, n_steps: int) -> None:
-        """Advance n_steps: one compiled multi-device dispatch."""
-        self.sim = self._run_k(self.sim, n_steps)
+    def run(self, n_steps: int, chunk: int | None = None) -> None:
+        """Advance n_steps: one compiled multi-device dispatch.
+
+        ``chunk=K`` splits the work into ceil(n/K) sequential K-step
+        dispatches of one reused program — the long-dispatch RPC-deadline
+        mitigation for tunneled rigs at very large per-device N (the same
+        contract as Session.run(chunk=), bitwise-identical trajectory)."""
+        if chunk is None or chunk >= n_steps:
+            self.sim = self._run_k(self.sim, n_steps)
+        else:
+            done = 0
+            while done < n_steps:
+                k = min(chunk, n_steps - done)
+                self.sim = self._run_k(self.sim, k)
+                done += k
         if self._sync:
             jax.block_until_ready(self.sim.xd)
 

@@ -104,3 +104,29 @@ def test_migration_really_crossed_every_boundary(sverlet_d4):
     # rightward drift: device 0 lost particles, device 3 gained
     assert end_alive[0] < init_alive[0]
     assert int(sim.step) == SVERLET_STEPS
+
+
+def test_planar_rebin_and_chunked_init_bitwise(sverlet_d4):
+    """The sharded large-N posture — plane-at-a-time collective rebin
+    (planar=True) + chunked per-device init (init_chunks=K) — is BITWISE
+    the sort-init/fused-reslot path on the shared D=4 migration scene:
+    same dense planes, same counters, same spill buffers (the sharded twin
+    of tests/test_planar.py + the flagship chunked-init gate)."""
+    import jax
+
+    runs = sverlet_d4
+    mesh = shard.make_mesh(4)
+    init_fn, step_fn = shard_verlet.make_sharded_verlet_step(
+        runs["params"], runs["cfg"], runs["spec"], mesh,
+        planar=True, init_chunks=3)
+    sim = init_fn(shard.shard_state(runs["state"], runs["spec"]))
+    for _ in range(SVERLET_STEPS):
+        sim = step_fn(sim)
+        jax.block_until_ready(sim.xd)   # 1-core rig: serialize executions
+    ref = runs["xla"]
+    for f in ("xd", "yd", "vxd", "vyd", "idx_d", "occ", "alive",
+              "overflow", "lost", "dropped", "rebin_count",
+              "sx", "sy", "svx", "svy", "sidx", "readmitted"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(sim, f)), np.asarray(getattr(ref, f)),
+            err_msg=f"planar/chunked sharded path diverged in {f}")

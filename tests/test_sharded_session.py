@@ -119,3 +119,26 @@ def test_kick_hits_only_within_radius(sess2):
     assert changed[inside].all(), "in-range particles must be kicked"
     assert not changed[~inside].any(), "out-of-range particles must not"
     assert inside.sum() > 0
+
+
+def test_large_n_posture_knobs_bitwise(sess2):
+    """ShardedSession's HBM-posture knobs (planar_rebin, init_chunks,
+    donate, run(chunk=)) reproduce the default session's trajectory
+    BITWISE on the D=2 rebin scene — they are memory postures, not
+    physics changes (the sharded twin of Session's large-N contract).
+    A fresh baseline is built here: the shared fixture session has been
+    advanced/kicked by earlier tests in this module."""
+    s, state = sess2
+    spec = s.spec
+    a = ShardedSession(state, PARAMS, CFG, spec)
+    a.run(12)
+    b = ShardedSession(state, PARAMS, CFG, spec, planar_rebin=True,
+                       init_chunks=3, donate=True)
+    b.run(12, chunk=5)                  # 5 + 5 + 2 dispatches
+    fa, fb = a.state(), b.state()
+    for f in ("x", "y", "vx", "vy", "rho"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(fa, f)), np.asarray(getattr(fb, f)),
+            err_msg=f"posture knobs diverged in {f}")
+    assert b.overflow == a.overflow == 0
+    assert b.rebin_count == a.rebin_count

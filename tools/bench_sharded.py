@@ -47,6 +47,26 @@ def main() -> int:
                          "bench.py --frames: the streaming window runs "
                          "1500+ steps of the deep-column scene, where 1.75 "
                          "brushes capacity overflow)")
+    ap.add_argument("--scale", action="store_true",
+                    help="very-large-per-device-N mode (the sharded twin "
+                    "of tools/bench_scale.py): ShardedSession with the HBM "
+                    "posture knobs — chunked init, donation, planar rebin "
+                    "— and INCLUSIVE best-of-reps timing (the differential "
+                    "window's snapshot keeps two copies of the dense "
+                    "planes alive, unaffordable at the ceiling)")
+    ap.add_argument("--chunks", type=int, default=16,
+                    help="[--scale] init_chunks for the chunked init")
+    ap.add_argument("--planar", choices=["auto", "on", "off"],
+                    default="auto", help="[--scale] planar rebin override")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="[--scale] split dispatches into K-step chunks "
+                    "(tunneled-rig RPC-deadline mitigation, like "
+                    "Session.run(chunk=))")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--capacity-factor", type=float, default=2.0,
+                    help="per-device particle-buffer size as a multiple of "
+                    "n/D (default 2.0; at D=1 nothing can migrate in, so "
+                    "1.0 sheds ~4 [n] planes of HBM at the ceiling)")
     args = ap.parse_args()
 
     side = int(math.isqrt(args.n))
@@ -57,8 +77,11 @@ def main() -> int:
     spec = shard.ShardSpec.build(
         h=0.045 * args.skin, x_min=-1.0, x_max=extent + 1.0,
         y_max=extent * 1.1 + 1.0, n_devices=args.devices,
-        capacity=-(-n // args.devices) * 2)
+        capacity=int(-(-n // args.devices) * args.capacity_factor))
     mesh = shard.make_mesh(args.devices)
+
+    if args.scale:
+        return scale_mode(args, n, side, params, cfg, spec, mesh)
     # the fused hardware path: Pallas density + fused forces+integrate,
     # with overflow recovery armed (n=) — the full production shape
     init_fn, step_fn = shard_verlet.make_sharded_verlet_step(
@@ -157,6 +180,70 @@ def main() -> int:
               f"{int(sim_f.overflow.max())}", file=sys.stderr)
 
     print(f'{{"metric": "sharded_verlet_psteps_per_sec_D{args.devices}", '
+          f'"value": {rate:.1f}, "unit": "particle-steps/s", '
+          f'"ok": {str(ok).lower()}}}')
+    return 0 if ok else 1
+
+
+def scale_mode(args, n, side, params, cfg, spec, mesh) -> int:
+    """HBM-ceiling sharded run: ShardedSession(planar_rebin, init_chunks,
+    donate) + run(chunk=), inclusive best-of-reps — mirrors
+    tools/bench_scale.py for the sharded path (VERDICT r4 #3: a D=1
+    hardware run at >=96M particles per device through rebins)."""
+    from bevy_gpu_fluid_tpu.parallel.sharded_session import ShardedSession
+
+    g = spec.local_grid
+    print(f"# scale mode: D={args.devices} n={n} local grid "
+          f"{g.ny_pad}x{g.cap}x{g.nx_pad} "
+          f"(~{8 * g.ny_pad * g.cap * g.nx_pad * 4 / 2**30:.1f} GiB "
+          f"resident dense/device, capacity={spec.capacity})",
+          file=sys.stderr, flush=True)
+    planar = {"auto": None, "on": True, "off": False}[args.planar]
+    state = bgf.init_grid(side, side, 0.04)
+    t0 = time.time()
+    sess = ShardedSession(state, params, cfg, spec, planar_rebin=planar,
+                          init_chunks=args.chunks, donate=True)
+    del state
+    jax.block_until_ready(sess.sim.xd)
+    t_init = time.time() - t0
+    ck = args.chunk or None
+
+    t0 = time.time()
+    if args.warmup_steps:
+        sess.run(args.warmup_steps, chunk=ck)
+        jax.block_until_ready(sess.sim.xd)
+    t_warm = time.time() - t0
+
+    best = float("inf")
+    for _ in range(args.reps):
+        t0 = time.time()
+        sess.run(args.steps, chunk=ck)
+        jax.block_until_ready(sess.sim.xd)
+        best = min(best, time.time() - t0)
+    ms = best / args.steps * 1e3
+    rate = n / (best / args.steps)
+
+    alive = sum(sess.alive)
+    ovf, drp = sess.overflow, sess.dropped
+    # identity, checked ON DEVICE (a host pull of the idx planes at 96M is
+    # a multi-minute 20 MB/s transfer): the live ids must be exactly the
+    # permutation 0..n-1 — occurrence counts via one scatter-add
+    ids = sess.sim.idx_d.reshape(-1)
+    cnt = jnp.zeros((n,), jnp.int32).at[
+        jnp.where(ids >= 0, ids, n)].add(1, mode="drop")
+    id_ok = bool((jnp.max(cnt) == 1) & (jnp.sum(cnt) == alive))
+    finite = bool(jnp.isfinite(sess.sim.xd[sess.sim.xd < 1e8]).all())
+    ok = alive == n and ovf == 0 and drp == 0 and id_ok and finite
+    print(f"# sharded-scale D={args.devices} n={n} init={t_init:.1f}s "
+          f"warmup={t_warm:.1f}s {ms:.1f} ms/step = {rate / 1e6:.1f}M "
+          f"particle-steps/s (inclusive) | alive {alive}/{n} "
+          f"overflow={ovf} dropped={drp} suspended={sess.suspended} "
+          f"rebins={sess.rebin_count} "
+          f"rebin_mode={'planar' if sess.planar_rebin else 'fused'} "
+          f"identity={'exact' if id_ok else 'BROKEN'} finite={finite}",
+          file=sys.stderr)
+    print(f'{{"metric": "sharded_scale_psteps_per_sec_'
+          f'{n // 1_000_000}M_D{args.devices}", '
           f'"value": {rate:.1f}, "unit": "particle-steps/s", '
           f'"ok": {str(ok).lower()}}}')
     return 0 if ok else 1
