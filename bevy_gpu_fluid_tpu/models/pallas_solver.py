@@ -107,6 +107,22 @@ _VMEM_TEMPS_B_PER_LANE_ROW = 14905 / 8  # compiler temps scale with tb (see
 _VMEM_BUDGET_B = int(99.7 * 2 ** 20)
 _DBUF_FORCE = None  # bench/test override: None | False | True | "xyr"
 
+# r5 experiment knob (VERDICT r4 #4: the forces kernel's ~30% roofline
+# residual).  The production pair loop is a dynamic-bound fori whose every
+# iteration issues one DYNAMIC sublane read per field (6 reads) plus loop
+# bookkeeping; the hypothesis is that this, not the arithmetic, is the
+# residual.  Modes:
+#   "fori"   — production: fori_loop bounded by the SMEM kmax (adaptive)
+#   "unroll" — full static unroll over cap slots: static sublane reads,
+#              zero loop overhead, but NO occupancy adaptivity (cap=8
+#              iterations where kmax is ~4 in the bench window)
+#   "bucket" — statically-unrolled variants at depths {2,4,6,8}, selected
+#              per block from the SMEM kmax via nested lax.cond: static
+#              reads AND (coarsened) adaptivity.  Extra slots beyond kmax
+#              contribute exact zeros (the FAR-sentinel hr gate), so all
+#              modes agree on live values up to zero-sign.
+_PAIR_LOOP = "fori"
+
 # Past the tb=8 single-buffer width edge (nx_pad ~6016, the 136M grid) the
 # grid builder drops to 4-row blocks: scoped VMEM scales ~linearly with
 # tb (the DMA slabs exactly — formulas below — and the compiler's
@@ -551,8 +567,28 @@ def _forces_integrate_kernel(pr, occ, x_hbm, y_hbm, vx_hbm, vy_hbm, rho_hbm,
                 ax = ax + (fac_p * ddx + fac_v * (rvx - vxi))
                 ay = ay + (fac_p * ddy + fac_v * (rvy - vyi))
         return ax, ay
-    ax, ay = jax.lax.fori_loop(0, kmax, body,
-                               (jnp.zeros_like(xi), jnp.zeros_like(xi)))
+
+    if _PAIR_LOOP == "unroll":
+        ax, ay = jnp.zeros_like(xi), jnp.zeros_like(xi)
+        for kj in range(cap):
+            ax, ay = body(kj, (ax, ay))
+    elif _PAIR_LOOP == "bucket":
+        def unrolled(kk):
+            def f():
+                a, b = jnp.zeros_like(xi), jnp.zeros_like(xi)
+                for kj in range(kk):
+                    a, b = body(kj, (a, b))
+                return a, b
+            return f
+        ax, ay = jax.lax.cond(
+            kmax <= 2, unrolled(2),
+            lambda: jax.lax.cond(
+                kmax <= 4, unrolled(4),
+                lambda: jax.lax.cond(kmax <= 6, unrolled(6),
+                                     unrolled(8))))
+    else:
+        ax, ay = jax.lax.fori_loop(0, kmax, body,
+                                   (jnp.zeros_like(xi), jnp.zeros_like(xi)))
 
     # ---- fused integrate + bounce (reference: sph_density.wgsl
     # integrate_main :252-278), masked so FAR stays FAR ----
