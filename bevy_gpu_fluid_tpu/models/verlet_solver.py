@@ -389,6 +389,13 @@ def _skin(params: FluidParams, grid: GridSpec2D):
     return (grid.cell_size - params.h) * 0.5
 
 
+def _ref_placeholder() -> jax.Array:
+    """Stand-in for the rebin-reference planes in the refless-trigger
+    posture: shape-stable (1, 1, 1) keeps the scan carry consistent while
+    the two plane-footprints vanish from HBM (see make_step_parts)."""
+    return jnp.zeros((1, 1, 1), jnp.float32)
+
+
 def _first_k_flat(mask: jax.Array, k: int) -> jax.Array:
     """First ``k`` set positions of a flat bool array, ascending, padded
     with ``mask.size`` — exactly ``jnp.nonzero(mask, size=k,
@@ -555,7 +562,8 @@ def _spill_admit(xd, yd, vxd, vyd, idx_d, cnt,
 
 def make_step_parts(params: FluidParams, cfg: IntegrateConfig,
                     grid: GridSpec2D, stencils=None, max_age: int = 64,
-                    reslot=None, n: int | None = None, planar: bool = False):
+                    reslot=None, n: int | None = None, planar: bool = False,
+                    refless: bool = False):
     """Build the dense step DECOMPOSED as ``(pure_step, rebin_fn,
     need_fn)`` — the pieces ``make_step`` composes into the standard
     per-step ``cond(need, rebin) -> kernels`` shape.
@@ -569,14 +577,25 @@ def make_step_parts(params: FluidParams, cfg: IntegrateConfig,
     compile-time OOM).  Driving ``while_loop(pure_step)`` until
     ``need_fn`` fires and dispatching ``rebin_fn`` separately (donated,
     at the jit TOP level where aliasing works) removes those temps from
-    the hot program entirely."""
+    the hot program entirely.
+
+    ``refless=True`` is the REFLESS-TRIGGER posture (the last 2
+    plane-footprints at the HBM ceiling): the rebin-reference planes are
+    dropped from the resident set (the sim carries (1,1,1) placeholders)
+    and ``disp2`` holds the ACCUMULATED sum of per-step maximum
+    displacements instead of the max displacement-from-reference — a
+    conservative bound (triangle inequality), so rebins fire somewhat
+    earlier but the physics is identical.  NOT bitwise-comparable to the
+    ref-based trigger (different rebin schedule -> different f32
+    summation order); fingerprint-guarded in checkpoints."""
     return _build_step(params, cfg, grid, stencils, max_age, reslot, n,
-                       planar)
+                       planar, refless)
 
 
 def make_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
               stencils=None, max_age: int = 64, reslot=None,
-              n: int | None = None, planar: bool = False):
+              n: int | None = None, planar: bool = False,
+              refless: bool = False):
     """Build the dense step fn: DenseSim -> DenseSim.
 
     Requires grid.cell_size > h (a real skin).  ``max_age`` bounds staleness
@@ -602,7 +621,7 @@ def make_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
     collect reads the routing code instead of comparing pre/post idx
     planes, so the pre-rebin payload planes die at their own apply."""
     pure_step, rebin_fn, need_fn = _build_step(
-        params, cfg, grid, stencils, max_age, reslot, n, planar)
+        params, cfg, grid, stencils, max_age, reslot, n, planar, refless)
 
     def step(sim: DenseSim) -> DenseSim:
         # rebin if any particle outran half the skin (or bins are too old);
@@ -616,12 +635,14 @@ def make_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
 
 def _build_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
                 stencils, max_age: int, reslot, n: int | None,
-                planar: bool):
+                planar: bool, refless: bool = False):
     fused = stencils is None
     # small grids take the MONO kernel (one launch/step, halo-rho
     # recomputed in-VMEM — ulp-level identical to the two-kernel path);
-    # large grids keep density + fused-forces with double-buffered DMA
-    mono = fused and grid.n_row_blocks < pallas_solver._MONO_MAX_BLOCKS
+    # large grids keep density + fused-forces with double-buffered DMA.
+    # refless is a ceiling posture — never paired with mono's tiny grids
+    mono = (fused and grid.n_row_blocks < pallas_solver._MONO_MAX_BLOCKS
+            and not refless)
     if fused:
         density_fn, _ = pallas_solver.make_stencils(grid)
     else:
@@ -712,7 +733,9 @@ def _build_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
                 (xd, yd, vxd, vyd, idx_d, cnt,
                  sx, sy, svx, svy, sidx, readmitted))
         return DenseSim(xd=xd, yd=yd, vxd=vxd, vyd=vyd, rho_d=sim.rho_d,
-                        ref_xd=xd, ref_yd=yd, idx_d=idx_d,
+                        ref_xd=_ref_placeholder() if refless else xd,
+                        ref_yd=_ref_placeholder() if refless else yd,
+                        idx_d=idx_d,
                         occ=reslot_ops.block_kmax3(xd, grid),
                         disp2=jnp.float32(0.0),
                         age=jnp.int32(0),
@@ -751,7 +774,9 @@ def _build_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
                             op[11], op[12], op[13], op[14], op[15], op[16]),
                 ops)
         return DenseSim(xd=xd, yd=yd, vxd=vxd, vyd=vyd, rho_d=sim.rho_d,
-                        ref_xd=xd, ref_yd=yd, idx_d=idx_d,
+                        ref_xd=_ref_placeholder() if refless else xd,
+                        ref_yd=_ref_placeholder() if refless else yd,
+                        idx_d=idx_d,
                         occ=reslot_ops.block_kmax3(xd, grid),
                         disp2=jnp.float32(0.0),
                         age=jnp.int32(0),
@@ -764,7 +789,11 @@ def _build_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
     def need_fn(sim: DenseSim):
         """The rebin trigger a step checks BEFORE its kernels: any particle
         outran half the skin (disp2 stored by the previous step's epilogue
-        against the same reference) or the bins aged out."""
+        against the same reference) or the bins aged out.  Refless: disp2
+        is the accumulated LINEAR displacement bound (sum of per-step
+        maxima), compared unsquared."""
+        if refless:
+            return (sim.disp2 > skin_half) | (sim.age >= max_age)
         return (sim.disp2 > skin_half * skin_half) | (sim.age >= max_age)
 
     def pure_step(sim: DenseSim) -> DenseSim:
@@ -783,9 +812,17 @@ def _build_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
             rho_d = density_fn(sim.xd, sim.yd, params, occ=sim.occ)
 
         if fused:
+            # refless: pass the position planes as the (unread) ref args —
+            # same buffers, zero extra HBM; the kernel reports this step's
+            # max displacement and the accumulated bound carries in disp2
+            refx = sim.xd if refless else sim.ref_xd
+            refy = sim.yd if refless else sim.ref_yd
             xd, yd, vxd, vyd, disp2 = pallas_solver.forces_integrate_pallas(
                 sim.xd, sim.yd, sim.vxd, sim.vyd, rho_d,
-                sim.ref_xd, sim.ref_yd, params, cfg, grid, occ=sim.occ)
+                refx, refy, params, cfg, grid, occ=sim.occ,
+                refless=refless)
+            if refless:
+                disp2 = sim.disp2 + jnp.sqrt(disp2)
             return dataclasses.replace(
                 sim, xd=xd, yd=yd, vxd=vxd, vyd=vyd, rho_d=rho_d,
                 disp2=disp2, age=sim.age + 1, step=sim.step + 1)
@@ -813,8 +850,14 @@ def _build_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
 
         xd = jnp.where(live, x, sim.xd)
         yd = jnp.where(live, y, sim.yd)
-        ddx = xd - sim.ref_xd
-        ddy = yd - sim.ref_yd
+        if refless:
+            ddx = xd - sim.xd            # this step's move (dead: FAR-FAR=0)
+            ddy = yd - sim.yd
+            disp_new = sim.disp2 + jnp.sqrt(jnp.max(ddx * ddx + ddy * ddy))
+        else:
+            ddx = xd - sim.ref_xd
+            ddy = yd - sim.ref_yd
+            disp_new = jnp.max(ddx * ddx + ddy * ddy)
         return dataclasses.replace(
             sim,
             xd=xd,
@@ -822,7 +865,7 @@ def _build_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
             vxd=jnp.where(live, vx, 0.0),
             vyd=jnp.where(live, vy, 0.0),
             rho_d=rho_d,
-            disp2=jnp.max(ddx * ddx + ddy * ddy),
+            disp2=disp_new,
             age=sim.age + 1,
             step=sim.step + 1,
         )
@@ -831,18 +874,38 @@ def _build_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
 
 
 def _session_fingerprint(stencils, reslot, max_age: int,
-                         recovery: bool) -> dict:
+                         recovery: bool, refless: bool = False) -> dict:
     """Solver-knob fingerprint for checkpoint compatibility: the knobs are
     not serializable, so save() records KINDS and restore() rejects a
     mismatched continuation (custom stencils/reslot can only be matched by
     kind — identical-kind custom objects are the caller's contract).
-    planar_rebin/donate are bit-neutral and deliberately absent."""
+    planar_rebin/donate are bit-neutral and deliberately absent; the
+    refless trigger IS recorded (it changes the rebin schedule, so a
+    cross-posture restore would silently diverge — and a ref-based
+    continuation cannot even be reconstructed from a refless artifact's
+    placeholder planes)."""
     return {
         "solver": "fused-pallas" if stencils is None else "custom-stencils",
         "reslot": "default" if reslot is None else "custom",
         "max_age": max_age,
         "recovery": recovery,
+        "refless": refless,
     }
+
+
+def refless_trigger_default(grid: GridSpec2D) -> bool:
+    """Auto-select the refless trigger at the very top of HBM: the
+    ref-based step peaks at ~10 plane-footprints (8 resident + the
+    forces kernel's ax/ay temps; the density output aliases the dead rho
+    plane), which the 160M probe measured at 13.81 GiB — and the dispatch
+    still RESOURCE_EXHAUSTED on the 16 GiB chip (the allocator's usable
+    arena sits below the static-accounting peak).  Dropping the 2 ref
+    planes puts the step at ~8 footprints (11.0 GiB at 160M) and the
+    planar rebin at ~12.8.  Threshold: engage once the 10-plane estimate
+    crosses 13.5 GiB — 160M is in, the 144M verified-clean posture is
+    untouched."""
+    plane_bytes = grid.ny_pad * grid.cap * grid.nx_pad * 4
+    return plane_bytes * 10 > 13.5 * 1024 ** 3
 
 
 def planar_rebin_default(grid: GridSpec2D) -> bool:
@@ -936,7 +999,8 @@ class Session:
                  spill_cap: int = SPILL_CAP, init_chunks: int | None = None,
                  donate: bool = False, recovery: bool = True,
                  planar_rebin: bool | None = None,
-                 segmented: bool | None = None):
+                 segmented: bool | None = None,
+                 refless_trigger: bool | None = None):
         """``init_chunks``/``donate`` are the very-large-N knobs (both
         matter past ~64M particles, where HBM — not compute — is the
         ceiling): ``init_chunks=K`` builds the dense state with the
@@ -970,10 +1034,18 @@ class Session:
         temp plane-footprints at the cost of one host round-trip per
         rebin segment).  Default ``None`` auto-enables it where the
         standard program's static temps would compile-fault OOM
-        (``segmented_run_default``; measured at 160M particles)."""
+        (``segmented_run_default``; measured at 160M particles).
+
+        ``refless_trigger`` drops the two rebin-reference planes and
+        accumulates a conservative per-step displacement bound instead
+        (NOT bitwise vs the ref-based trigger — rebins fire somewhat
+        earlier; physics identical).  Default ``None`` auto-enables at
+        the very top of HBM (``refless_trigger_default``; the measured
+        160M RESOURCE_EXHAUSTED margin)."""
         self._setup(params, cfg, grid, state.n, stencils, max_age, reslot,
                     donate=donate, recovery=recovery,
-                    planar_rebin=planar_rebin, segmented=segmented)
+                    planar_rebin=planar_rebin, segmented=segmented,
+                    refless_trigger=refless_trigger)
         # donate the [N] input planes into the init dispatch too: at the
         # HBM ceiling (>=144M) the four state planes + their padded chunk
         # copies coexisting with the dense carry planes is several GiB of
@@ -991,6 +1063,16 @@ class Session:
             self.sim = jax.jit(partial(
                 init_dense, grid=self.grid, spill_cap=spill_cap,
                 collect_spill=recovery), donate_argnums=init_donate)(state)
+        self._apply_refless()
+
+    def _apply_refless(self) -> None:
+        """Refless posture: swap the freshly-initialized ref planes for
+        (1,1,1) placeholders so the two plane-footprints free immediately
+        (the step never reads them; see make_step_parts)."""
+        if self.refless_trigger:
+            self.sim = dataclasses.replace(
+                self.sim, ref_xd=_ref_placeholder(),
+                ref_yd=_ref_placeholder())
 
     def reset(self, state: FluidState) -> None:
         """Re-seed the resident DenseSim from a per-particle FluidState
@@ -1006,6 +1088,7 @@ class Session:
         self.sim = jax.jit(partial(
             init, grid=self.grid, spill_cap=self._spill_cap,
             collect_spill=self._recovery))(state)
+        self._apply_refless()
 
     @classmethod
     def from_generator(cls, gen, n: int, params: FluidParams,
@@ -1014,7 +1097,8 @@ class Session:
                        spill_cap: int = SPILL_CAP, init_chunks: int = 16,
                        donate: bool = True, recovery: bool = True,
                        planar_rebin: bool | None = None,
-                       segmented: bool | None = None) -> "Session":
+                       segmented: bool | None = None,
+                       refless_trigger: bool | None = None) -> "Session":
         """Session whose initial scene is COMPUTED chunk-by-chunk by
         ``gen`` (see ``init_dense_gen``) instead of binned from a
         materialized FluidState — the top-of-HBM init path: no [N]
@@ -1025,23 +1109,29 @@ class Session:
         self = cls.__new__(cls)
         self._setup(params, cfg, grid, n, stencils, max_age, reslot,
                     donate=donate, recovery=recovery,
-                    planar_rebin=planar_rebin, segmented=segmented)
+                    planar_rebin=planar_rebin, segmented=segmented,
+                    refless_trigger=refless_trigger)
         self._spill_cap = spill_cap
         self._init_chunks = init_chunks
         self.sim = jax.jit(partial(
             init_dense_gen, gen, n, grid=grid, n_chunks=init_chunks,
             spill_cap=spill_cap, collect_spill=recovery))()
+        self._apply_refless()
         return self
 
     def _setup(self, params: FluidParams, cfg: IntegrateConfig,
                grid: GridSpec2D, n: int, stencils, max_age: int,
                reslot, donate: bool = False, recovery: bool = True,
                planar_rebin: bool | None = None,
-               segmented: bool | None = None) -> None:
+               segmented: bool | None = None,
+               refless_trigger: bool | None = None) -> None:
         from ..render import raster
 
         if planar_rebin is None:
             planar_rebin = planar_rebin_default(grid)
+        if refless_trigger is None:
+            refless_trigger = refless_trigger_default(grid)
+        self.refless_trigger = refless_trigger
         at_hbm_wall = segmented_run_default(grid)
         if segmented is None:
             segmented = at_hbm_wall
@@ -1063,10 +1153,11 @@ class Session:
         self._spill_cap = SPILL_CAP     # __init__/from_generator override
         self._init_chunks = None
         self._fingerprint = _session_fingerprint(stencils, reslot, max_age,
-                                                 recovery)
+                                                 recovery, refless_trigger)
         pure_step, rebin_fn, need_fn = make_step_parts(
             params, cfg, grid, stencils, max_age, reslot,
-            n=n if recovery else None, planar=planar_rebin)
+            n=n if recovery else None, planar=planar_rebin,
+            refless=refless_trigger)
         self._parts = (pure_step, rebin_fn, need_fn)
         self._donate = donate
         self._segmented_fns = None   # built lazily on first segmented run
@@ -1255,23 +1346,30 @@ class Session:
     def restore(cls, path: str, stencils=None, max_age: int = 64,
                 reslot=None, recovery: bool = True,
                 planar_rebin: bool | None = None,
-                segmented: bool | None = None) -> "Session":
+                segmented: bool | None = None,
+                refless_trigger: bool | None = None) -> "Session":
         """Rebuild a Session from ``save``.  Non-serializable knobs
-        (stencils / reslot backend, max_age, recovery) are re-supplied here
-        and must match the saved run's for bitwise continuation — a
-        MISMATCH against the artifact's fingerprint raises instead of
-        silently diverging (legacy artifacts without one are accepted
-        unchecked; ``planar_rebin`` is bit-neutral either way)."""
+        (stencils / reslot backend, max_age, recovery, refless_trigger)
+        are re-supplied here and must match the saved run's for bitwise
+        continuation — a MISMATCH against the artifact's fingerprint
+        raises instead of silently diverging (legacy artifacts without
+        one are accepted unchecked; ``planar_rebin`` is bit-neutral
+        either way).  ``refless_trigger=None`` resolves to the grid's
+        auto default BEFORE the fingerprint check, so ceiling-posture
+        artifacts restore without re-supplying the knob."""
         from ..utils import checkpoint
+        sim, grid, params, cfg, n = checkpoint.load_dense(path)
+        if refless_trigger is None:
+            refless_trigger = refless_trigger_default(grid)
         checkpoint.check_fingerprint(
             checkpoint.load_fingerprint(path),
-            _session_fingerprint(stencils, reslot, max_age, recovery),
+            _session_fingerprint(stencils, reslot, max_age, recovery,
+                                 refless_trigger),
             "Session.restore")
-        sim, grid, params, cfg, n = checkpoint.load_dense(path)
         self = cls.__new__(cls)
         self._setup(params, cfg, grid, n, stencils, max_age, reslot,
                     recovery=recovery, planar_rebin=planar_rebin,
-                    segmented=segmented)
+                    segmented=segmented, refless_trigger=refless_trigger)
         self.sim = sim
         return self
 

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from bevy_gpu_fluid_tpu import FluidParams, IntegrateConfig, init_grid
 from bevy_gpu_fluid_tpu.models import verlet_solver
@@ -145,3 +146,53 @@ def test_session_kick_matches_particle_impulse():
     sess.run(20)
     assert sess.overflow == 0
     assert bool(jnp.isfinite(sess.state().x).all())
+
+
+def test_refless_trigger_posture():
+    """The HBM-ceiling refless trigger (Session(refless_trigger=True)):
+    ref planes are (1,1,1) placeholders (the 2-plane-footprint shed that
+    un-faults 160M), rebins fire conservatively (>= the ref-based
+    schedule), physics agrees to f32 noise, and cross-posture restore is
+    fingerprint-rejected (the schedules differ, so continuation would
+    silently diverge)."""
+    import numpy as np
+
+    import bevy_gpu_fluid_tpu as bgf
+    from bevy_gpu_fluid_tpu.models import verlet_solver
+
+    state = bgf.init_grid(24, 24, 0.04)
+    params = bgf.FluidParams.demo()
+    cfg = bgf.IntegrateConfig.create(x_min=-1.0, x_max=2.5)
+    grid = verlet_solver.default_grid(0.045, -1.0, 2.5, y_max=3.0, cap=8)
+
+    a = verlet_solver.Session(state, params, cfg, grid)
+    b = verlet_solver.Session(state, params, cfg, grid,
+                              refless_trigger=True)
+    assert b.sim.ref_xd.shape == (1, 1, 1)
+    a.run(120)
+    b.run(120)
+    assert int(b.sim.rebin_count) >= int(a.sim.rebin_count)
+    sa, sb = a.state(), b.state()
+    assert a.overflow == b.overflow == 0
+    np.testing.assert_allclose(np.asarray(sa.x), np.asarray(sb.x),
+                               atol=5e-5)
+    assert bool(jnp.isfinite(sb.x).all())
+
+
+def test_refless_restore_fingerprint(tmp_path):
+    import bevy_gpu_fluid_tpu as bgf
+    from bevy_gpu_fluid_tpu.models import verlet_solver
+
+    state = bgf.init_grid(12, 12, 0.04)
+    grid = verlet_solver.default_grid(0.045, -1.0, 2.5, y_max=3.0, cap=8)
+    b = verlet_solver.Session(state, bgf.FluidParams.demo(),
+                              bgf.IntegrateConfig.create(x_min=-1.0,
+                                                         x_max=2.5),
+                              grid, refless_trigger=True)
+    b.run(5)
+    p = str(tmp_path / "refless.npz")
+    b.save(p)
+    c = verlet_solver.Session.restore(p, refless_trigger=True)
+    assert c.refless_trigger and c.sim.ref_xd.shape == (1, 1, 1)
+    with pytest.raises(ValueError):
+        verlet_solver.Session.restore(p, refless_trigger=False)

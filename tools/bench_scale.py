@@ -141,7 +141,8 @@ def main() -> int:
           f"{ms:.1f} ms/step = {rate / 1e6:.1f}M particle-steps/s "
           f"rebins={int(sess.sim.rebin_count)} overflow={sess.overflow} "
           f"suspended={sess.suspended} finite={finite} "
-          f"rebin_mode={'planar' if sess.planar_rebin else 'fused'}",
+          f"rebin_mode={'planar' if sess.planar_rebin else 'fused'} "
+          f"refless={sess.refless_trigger}",
           file=sys.stderr)
     print(f'{{"metric": "scale_psteps_per_sec_{n // 1_000_000}M", '
           f'"value": {rate:.1f}, "unit": "particle-steps/s", '

@@ -78,7 +78,8 @@ def main() -> int:
     sess._setup(params, cfg, grid, n, None, 64, None,
                 donate=True, recovery=not args.no_recovery)
     print(f"# posture: segmented={sess.segmented} "
-          f"planar_rebin={sess.planar_rebin}", flush=True)
+          f"planar_rebin={sess.planar_rebin} "
+          f"refless={sess.refless_trigger}", flush=True)
 
     sim_shapes = jax.eval_shape(
         partial(verlet_solver.init_dense_gen, bgf.lattice_gen(side, 0.04),
