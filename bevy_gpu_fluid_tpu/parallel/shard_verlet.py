@@ -151,7 +151,8 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
                              n: int | None = None,
                              spill_cap: int = SPILL_CAP,
                              planar: bool = False,
-                             init_chunks: int | None = None):
+                             init_chunks: int | None = None,
+                             refless: bool = False):
     """Returns (init_fn, step_fn):
     init_fn(ShardedState) -> ShardedDenseSim (jitted)
     step_fn(ShardedDenseSim) -> ShardedDenseSim (jitted)
@@ -186,7 +187,16 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
     dense planes by scanning K chunk slices of its local particle buffer
     (O(m/K) sort transients instead of the full-[m] argsort workspace;
     bitwise-identical result) — the per-device twin of
-    Session(init_chunks=K) for >=~64M particles per device."""
+    Session(init_chunks=K) for >=~64M particles per device.
+
+    ``refless=True`` is the sharded REFLESS trigger (the twin of
+    Session(refless_trigger=True), see models/verlet_solver.
+    make_step_parts): the per-device rebin-reference planes become
+    [D, 1, 1, 1] placeholders (-2 plane-footprints per device) and the
+    per-device ``disp2`` accumulates the conservative sum of per-step
+    displacement maxima; the collective trigger any-reduces the
+    accumulated bounds.  NOT bitwise vs the ref-based trigger (earlier
+    rebin schedule); physics identical."""
     from ..models import pallas_solver
 
     g = spec.local_grid
@@ -636,7 +646,9 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
     def local_purestep(xd, yd, vxd, vyd, ref_xd, ref_yd, occ):
         """The between-rebins step: ghost fill + density + forces/integrate.
         idx/occ/spill/counters don't flow through — they're untouched here
-        and stay aliased in the scan carry at the jit level."""
+        and stay aliased in the scan carry at the jit level.  Refless:
+        ref_xd/ref_yd are [1,1,1] placeholders; disp2 returns THIS step's
+        max displacement (the jit level accumulates the bound)."""
         sq = lambda a: a.reshape(a.shape[1:])
         xd, yd, vxd, vyd, ref_xd, ref_yd, occ = map(
             sq, (xd, yd, vxd, vyd, ref_xd, ref_yd, occ))
@@ -647,6 +659,7 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
         # collective launches: this one + the post-density rho exchange)
         xd, yd, vxd, vyd = sh._fill_ghost_cols_multi(
             (xd, yd, vxd, vyd), nxl, D, (FAR, FAR, 0.0, 0.0))
+        xd0, yd0 = xd, yd               # refless: this step's baseline
 
         rho_d = density_fn(xd, yd, params, occ=occ)
         rho_d = sh._fill_ghost_cols(rho_d, nxl, D, 0.0)
@@ -654,10 +667,13 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
         if forces_fn is None:
             # fused hardware path: forces + integrate + bounce + the next
             # step's trigger scalar in one kernel; ghost lanes excluded
-            # from the displacement max (their reference is FAR)
+            # from the displacement max (their reference is FAR — and in
+            # refless mode they are neighbour copies the owner counts)
             xd, yd, vxd, vyd, disp2 = pallas_solver.forces_integrate_pallas(
-                xd, yd, vxd, vyd, rho_d, ref_xd, ref_yd, params, cfg, g,
-                interpret=interpret, occ=occ, disp_lanes=(1, nxl + 1))
+                xd, yd, vxd, vyd, rho_d,
+                xd0 if refless else ref_xd, yd0 if refless else ref_yd,
+                params, cfg, g, interpret=interpret, occ=occ,
+                disp_lanes=(1, nxl + 1), refless=refless)
         else:
             ax_d, ay_d = forces_fn(xd, yd, vxd, vyd, rho_d, params, occ=occ)
             ay_d = ay_d + GRAVITY_Y
@@ -681,8 +697,12 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
             yd = jnp.where(live, y, yd)
             vxd = jnp.where(live, vx, 0.0)
             vyd = jnp.where(live, vy, 0.0)
-            ddx = real(xd) - real(ref_xd)
-            ddy = real(yd) - real(ref_yd)
+            if refless:
+                ddx = real(xd) - real(xd0)   # this step's move
+                ddy = real(yd) - real(yd0)
+            else:
+                ddx = real(xd) - real(ref_xd)
+                ddy = real(yd) - real(ref_yd)
             disp2 = jnp.max(ddx * ddx + ddy * ddy)
 
         r1 = lambda a: a.reshape((1,) + a.shape)
@@ -714,10 +734,19 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
                                sx=sx, sy=sy, svx=svx, svy=svy, sidx=sidx,
                                readmitted=readm)
 
+    def _ref_none():
+        """[D, 1, 1, 1] stand-ins for the per-device ref planes in the
+        refless posture (shape-stable carry; 2 plane-footprints freed)."""
+        return jnp.zeros((D, 1, 1, 1), jnp.float32)
+
     @jax.jit
     def init_fn(s: sh.ShardedState) -> ShardedDenseSim:
-        return _pack(init_sharded(s.x, s.y, s.vx, s.vy, s.idx, s.alive,
-                                  s.step), s.step)
+        sim = _pack(init_sharded(s.x, s.y, s.vx, s.vy, s.idx, s.alive,
+                                 s.step), s.step)
+        if refless:
+            sim = dataclasses.replace(sim, ref_xd=_ref_none(),
+                                      ref_yd=_ref_none())
+        return sim
 
     @jax.jit
     def step_fn(sim: ShardedDenseSim) -> ShardedDenseSim:
@@ -731,8 +760,11 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
         # on every no-rebin step: ~0.3 ms/step at 1M, the entire sharded-
         # vs-flagship D=1 base gap isolated by tools/exp_shard_gap.py
         # (BASELINE.json round4_sharded_glue).
-        thr = skin_half * skin_half
-        need = jnp.any((sim.disp2 > thr) | (sim.age >= max_age))
+        if refless:
+            need = jnp.any((sim.disp2 > skin_half) | (sim.age >= max_age))
+        else:
+            thr = skin_half * skin_half
+            need = jnp.any((sim.disp2 > thr) | (sim.age >= max_age))
 
         def do_rebin(s: ShardedDenseSim) -> ShardedDenseSim:
             (xd, yd, vxd, vyd, idx_d, occ, ovf, lost, drp,
@@ -741,8 +773,13 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
                 s.dropped, s.sx, s.sy, s.svx, s.svy, s.sidx, s.readmitted)
             return dataclasses.replace(
                 s, xd=xd, yd=yd, vxd=vxd, vyd=vyd, idx_d=idx_d, occ=occ,
-                ref_xd=xd, ref_yd=yd, alive=alive,
-                age=jnp.zeros_like(s.age), overflow=ovf, lost=lost,
+                ref_xd=_ref_none() if refless else xd,
+                ref_yd=_ref_none() if refless else yd, alive=alive,
+                age=jnp.zeros_like(s.age),
+                # refless: the accumulated bound restarts at a rebin
+                # (ref-based keeps the passthrough — purestep overwrites)
+                disp2=jnp.zeros_like(s.disp2) if refless else s.disp2,
+                overflow=ovf, lost=lost,
                 dropped=drp, rebin_count=s.rebin_count + 1,
                 sx=sx, sy=sy, svx=svx, svy=svy, sidx=sidx,
                 readmitted=readm)
@@ -751,6 +788,8 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
         xd, yd, vxd, vyd, rho_d, disp2 = purestep_sharded(
             sim.xd, sim.yd, sim.vxd, sim.vyd, sim.ref_xd, sim.ref_yd,
             sim.occ)
+        if refless:
+            disp2 = sim.disp2 + jnp.sqrt(disp2)
         return dataclasses.replace(
             sim, xd=xd, yd=yd, vxd=vxd, vyd=vyd, rho_d=rho_d, disp2=disp2,
             age=sim.age + 1, step=sim.step + 1)

@@ -34,15 +34,18 @@ from . import shard as sh
 from . import shard_render, shard_verlet
 
 
-def _sharded_fingerprint(fused: bool, stencils, recover: bool) -> dict:
+def _sharded_fingerprint(fused: bool, stencils, recover: bool,
+                         refless: bool = False) -> dict:
     """Solver-knob fingerprint for checkpoint compatibility (the sharded
     twin of verlet_solver._session_fingerprint; spill_cap/interpret are
-    shape-carried or bit-neutral and deliberately absent)."""
+    shape-carried or bit-neutral and deliberately absent; the refless
+    trigger IS recorded — it changes the rebin schedule)."""
     return {
         "solver": "fused-pallas" if fused else
                   ("custom-stencils" if stencils is not None
                    else "xla-stencils"),
         "recovery": recover,
+        "refless": refless,
     }
 
 
@@ -65,7 +68,8 @@ class ShardedSession:
                  spill_cap: int = shard_verlet.SPILL_CAP,
                  planar_rebin: bool | None = None,
                  init_chunks: int | None = None,
-                 donate: bool = False, _sim=None,
+                 donate: bool = False,
+                 refless_trigger: bool | None = None, _sim=None,
                  _n: int | None = None):
         """``planar_rebin``/``init_chunks``/``donate`` are the very-
         large-per-device-N knobs, the sharded twins of Session's (see
@@ -86,22 +90,28 @@ class ShardedSession:
             from ..models.verlet_solver import planar_rebin_default
             planar_rebin = planar_rebin_default(spec.local_grid)
         self.planar_rebin = planar_rebin
+        if refless_trigger is None:
+            from ..models.verlet_solver import refless_trigger_default
+            refless_trigger = refless_trigger_default(spec.local_grid)
+        self.refless_trigger = refless_trigger
         init_fn, step_fn = shard_verlet.make_sharded_verlet_step(
             params, cfg, spec, mesh, stencils=stencils, fused=fused,
             interpret=interpret, n=self.n if recover else None,
             spill_cap=spill_cap, planar=planar_rebin,
-            init_chunks=init_chunks)
+            init_chunks=init_chunks, refless=refless_trigger)
         self._step = step_fn
         self._interpret = interpret
         # kwargs needed to rebuild this session from a checkpoint
         # (planar_rebin is bit-neutral; init_chunks/donate are init/driver
-        # knobs — none enters the fingerprint)
+        # knobs — refless_trigger alone enters the fingerprint)
         self._build_kw = dict(fused=fused, interpret=interpret,
                               stencils=stencils, recover=recover,
-                              spill_cap=spill_cap)
+                              spill_cap=spill_cap,
+                              refless_trigger=refless_trigger)
         # solver-knob fingerprint: save() records it, restore() rejects a
         # mismatched continuation (see utils.checkpoint.check_fingerprint)
-        self._fingerprint = _sharded_fingerprint(fused, stencils, recover)
+        self._fingerprint = _sharded_fingerprint(fused, stencils, recover,
+                                                 refless_trigger)
 
         @partial(jax.jit, static_argnums=1,
                  donate_argnums=(0,) if donate else ())
@@ -243,13 +253,19 @@ class ShardedSession:
         mismatch against the artifact's solver-knob fingerprint raises
         (legacy artifacts without one are accepted unchecked)."""
         from ..utils import checkpoint
+        sim, spec, params, cfg, n = checkpoint.load_sharded(path)
+        refless = build_kw.get("refless_trigger")
+        if refless is None:
+            from ..models.verlet_solver import refless_trigger_default
+            refless = refless_trigger_default(spec.local_grid)
+            build_kw["refless_trigger"] = refless
         checkpoint.check_fingerprint(
             checkpoint.load_fingerprint(path),
             _sharded_fingerprint(build_kw.get("fused", True),
                                  build_kw.get("stencils"),
-                                 build_kw.get("recover", True)),
+                                 build_kw.get("recover", True),
+                                 refless),
             "ShardedSession.restore")
-        sim, spec, params, cfg, n = checkpoint.load_sharded(path)
         return cls(None, params, cfg, spec, mesh=mesh, _sim=sim, _n=n,
                    **build_kw)
 

@@ -121,17 +121,25 @@ def test_kick_hits_only_within_radius(sess2):
     assert inside.sum() > 0
 
 
-def test_large_n_posture_knobs_bitwise(sess2):
+@pytest.fixture(scope="module")
+def baseline12(sess2):
+    """Fresh 12-step default-posture session: the shared ``sess2`` session
+    is advanced/kicked by earlier tests, so posture-comparison tests need
+    an unmutated baseline (built once, read-only)."""
+    s, state = sess2
+    a = ShardedSession(state, PARAMS, CFG, s.spec)
+    a.run(12)
+    return a
+
+
+def test_large_n_posture_knobs_bitwise(sess2, baseline12):
     """ShardedSession's HBM-posture knobs (planar_rebin, init_chunks,
     donate, run(chunk=)) reproduce the default session's trajectory
     BITWISE on the D=2 rebin scene — they are memory postures, not
-    physics changes (the sharded twin of Session's large-N contract).
-    A fresh baseline is built here: the shared fixture session has been
-    advanced/kicked by earlier tests in this module."""
+    physics changes (the sharded twin of Session's large-N contract)."""
     s, state = sess2
     spec = s.spec
-    a = ShardedSession(state, PARAMS, CFG, spec)
-    a.run(12)
+    a = baseline12
     b = ShardedSession(state, PARAMS, CFG, spec, planar_rebin=True,
                        init_chunks=3, donate=True)
     b.run(12, chunk=5)                  # 5 + 5 + 2 dispatches
@@ -142,3 +150,29 @@ def test_large_n_posture_knobs_bitwise(sess2):
             err_msg=f"posture knobs diverged in {f}")
     assert b.overflow == a.overflow == 0
     assert b.rebin_count == a.rebin_count
+
+
+def test_sharded_refless_trigger(sess2, baseline12):
+    """The sharded refless trigger (ShardedSession(refless_trigger=True)):
+    per-device ref planes are [D,1,1,1] placeholders, the accumulated
+    bound rebins conservatively (>= the ref-based schedule), physics
+    agrees to f32 noise on the D=2 migration scene, and the posture is
+    fingerprint-recorded."""
+    s, state = sess2
+    spec = s.spec
+    a = baseline12
+    b = ShardedSession(state, PARAMS, CFG, spec, refless_trigger=True)
+    assert b.sim.ref_xd.shape == (2, 1, 1, 1)
+    b.run(12)
+    assert b.rebin_count >= a.rebin_count
+    assert b.overflow == a.overflow == 0
+    fa, fb = a.state(), b.state()
+    np.testing.assert_allclose(np.asarray(fa.x), np.asarray(fb.x),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(fa.vx), np.asarray(fb.vx),
+                               atol=5e-3)
+    assert b._fingerprint["refless"] is True
+    # identity survives the earlier rebin schedule
+    ids = np.asarray(b.sim.idx_d).reshape(-1)
+    ids = np.sort(ids[ids >= 0])
+    np.testing.assert_array_equal(ids, np.arange(state.n))

@@ -240,6 +240,7 @@ def scale_mode(args, n, side, params, cfg, spec, mesh) -> int:
           f"overflow={ovf} dropped={drp} suspended={sess.suspended} "
           f"rebins={sess.rebin_count} "
           f"rebin_mode={'planar' if sess.planar_rebin else 'fused'} "
+          f"refless={sess.refless_trigger} "
           f"identity={'exact' if id_ok else 'BROKEN'} finite={finite}",
           file=sys.stderr)
     print(f'{{"metric": "sharded_scale_psteps_per_sec_'
