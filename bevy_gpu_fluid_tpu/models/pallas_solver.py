@@ -110,8 +110,13 @@ _DBUF_FORCE = None  # bench/test override: None | False | True | "xyr"
 # r5 experiment knob (VERDICT r4 #4: the forces kernel's ~30% roofline
 # residual).  The production pair loop is a dynamic-bound fori whose every
 # iteration issues one DYNAMIC sublane read per field (6 reads) plus loop
-# bookkeeping; the hypothesis is that this, not the arithmetic, is the
-# residual.  Modes:
+# bookkeeping; the hypothesis was that this, not the arithmetic, is the
+# residual.  MEASURED AND REJECTED on the chip (tools/exp_pairloop.py,
+# 1M differential window): fori 1.687 ms/step, unroll 2.901 (= the
+# 8/~4.5 tap-count ratio — per-tap cost is identical under static
+# addressing, so the dynamic reads + bookkeeping are free), bucket 3.031
+# (Mosaic predicates the nested scalar conds; every variant executes).
+# The kernel is pair-arithmetic-bound; keep "fori".  Modes:
 #   "fori"   — production: fori_loop bounded by the SMEM kmax (adaptive)
 #   "unroll" — full static unroll over cap slots: static sublane reads,
 #              zero loop overhead, but NO occupancy adaptivity (cap=8

@@ -85,6 +85,14 @@ def main() -> int:
         partial(verlet_solver.init_dense_gen, bgf.lattice_gen(side, 0.04),
                 n, grid=grid, n_chunks=16,
                 spill_cap=verlet_solver.SPILL_CAP, collect_spill=True))
+    if sess.refless_trigger:
+        # mirror Session._apply_refless: the resident sim carries (1,1,1)
+        # ref placeholders, NOT plane-sized refs — probing with the init's
+        # raw shapes would re-count the 2 plane-footprints the posture
+        # sheds (this exact mistake hid the refless win on first probe)
+        import dataclasses as _dc
+        ph = jax.ShapeDtypeStruct((1, 1, 1), jnp.float32)
+        sim_shapes = _dc.replace(sim_shapes, ref_xd=ph, ref_yd=ph)
 
     step_until, rebin_one = sess._segmented_build()
     k_shape = jax.ShapeDtypeStruct((), jnp.int32)
