@@ -689,27 +689,37 @@ def _build_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
         if n is not None:
             need = (alive_before - captured > 0) | jnp.any(sidx >= 0)
             K = sx.shape[0]
+            total = sim.idx_d.size
 
-            def collect(ops):
-                code, pxd, pyd, pvxd, pvyd, pidx_d, *spill = ops
-                taken = reslot_ops.taken_mask(code, grid.cap)
-                pre = pidx_d.reshape(-1)
-                total = pre.shape[0]
-                dropped = (pre >= 0) & ~taken.reshape(-1)
-                dpos = _first_k_flat(dropped, K)
-                dv = dpos < total
-                dsf = jnp.minimum(dpos, total - 1)
-                drops = (jnp.where(dv, pxd.reshape(-1)[dsf], FAR),
-                         jnp.where(dv, pyd.reshape(-1)[dsf], FAR),
-                         jnp.where(dv, pvxd.reshape(-1)[dsf], 0.0),
-                         jnp.where(dv, pvyd.reshape(-1)[dsf], 0.0),
-                         jnp.where(dv, pre[dsf], -1))
-                return _spill_merge(tuple(spill), drops)
+            # Drop POSITIONS resolve inside the cond from the code + idx
+            # planes ALONE; the K-sized VALUE gathers run outside it.
+            # Keeping the payload planes (xd/yd/...) out of the cond's
+            # operands matters at the HBM ceiling: donated planes captured
+            # by a control-flow region get copy-protected — at 192M that
+            # was two full-plane copies (3.3 GiB of rebin_one's HLO temps)
+            # and the difference between fitting and RESOURCE_EXHAUSTED.
+            def find_drops(ops):
+                code_, pidx_d = ops
+                taken = reslot_ops.taken_mask(code_, grid.cap)
+                dropped = (pidx_d.reshape(-1) >= 0) & ~taken.reshape(-1)
+                return _first_k_flat(dropped, K)
 
-            ops = (code, sim.xd, sim.yd, sim.vxd, sim.vyd, sim.idx_d,
-                   sx, sy, svx, svy, sidx)
+            dpos = jax.lax.cond(
+                need, find_drops,
+                lambda op: jnp.full((K,), total, jnp.int32),
+                (code, sim.idx_d))
+            dv = dpos < total
+            dsf = jnp.minimum(dpos, total - 1)
+            drops = (jnp.where(dv, sim.xd.reshape(-1)[dsf], FAR),
+                     jnp.where(dv, sim.yd.reshape(-1)[dsf], FAR),
+                     jnp.where(dv, sim.vxd.reshape(-1)[dsf], 0.0),
+                     jnp.where(dv, sim.vyd.reshape(-1)[dsf], 0.0),
+                     jnp.where(dv, sim.idx_d.reshape(-1)[dsf], -1))
             sx, sy, svx, svy, sidx = jax.lax.cond(
-                need, collect, lambda op: tuple(op[6:]), ops)
+                need,
+                lambda op: _spill_merge(op[0], op[1]),
+                lambda op: op[0],
+                ((sx, sy, svx, svy, sidx), drops))
 
         xd = reslot_ops.apply_code_pallas(sim.xd, code, sim.occ, grid,
                                           FAR, interp)

@@ -152,7 +152,8 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
                              spill_cap: int = SPILL_CAP,
                              planar: bool = False,
                              init_chunks: int | None = None,
-                             refless: bool = False):
+                             refless: bool = False,
+                             gen=None, gen_n: int | None = None):
     """Returns (init_fn, step_fn):
     init_fn(ShardedState) -> ShardedDenseSim (jitted)
     step_fn(ShardedDenseSim) -> ShardedDenseSim (jitted)
@@ -196,7 +197,18 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
     per-device ``disp2`` accumulates the conservative sum of per-step
     displacement maxima; the collective trigger any-reduces the
     accumulated bounds.  NOT bitwise vs the ref-based trigger (earlier
-    rebin schedule); physics identical."""
+    rebin schedule); physics identical.
+
+    ``gen``/``gen_n`` switch init to the GENERATOR path (the sharded twin
+    of Session.from_generator): ``init_fn(step_scalar)`` computes the
+    scene chunk-by-chunk per device from ``gen(global_indices)`` — no [N]
+    FluidState and no [D, capacity] ShardedState ever exist on device.
+    At the per-device HBM ceiling those two inputs are ~6-8 GiB that
+    coexist with the dense planes (the 128M/device init
+    RESOURCE_EXHAUSTED); the generator path's init peak is the dense
+    carry plus O(gen_n / init_chunks) transients.  Bitwise-identical to
+    the shard_state + chunked-init result (same stable-rank machinery;
+    slab membership uses shard_state's own floor-divide test)."""
     from ..models import pallas_solver
 
     g = spec.local_grid
@@ -620,6 +632,47 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
             jnp.int32(0), overflow, jnp.int32(0), jnp.int32(0),
             jnp.int32(1), sx, sy, svx, svy, sidx, jnp.int32(0))))
 
+    def local_init_gen(step):
+        """Generator init (see the factory docstring): each device scans
+        the GLOBAL index range in chunks, keeps the particles whose slab
+        is its own, and runs them through the shared chunk-init body with
+        its slab origin.  The stable-rank + running-count machinery makes
+        the dense result independent of chunk boundaries, so this is
+        bitwise local_init_chunked's output for the same scene (slab
+        compaction preserves original particle order; gated by
+        tests/test_sharded_session.py)."""
+        from ..models import verlet_solver as vs
+        d = jax.lax.axis_index(AXIS)
+        K = init_chunks or 16
+        c = -(-gen_n // K)
+        body = vs._chunk_init_body(g, spill_cap, n is not None,
+                                   origin=origin_of(d))
+
+        def gen_body(carry, k):
+            gi = k * c + jnp.arange(c, dtype=jnp.int32)
+            valid = gi < gen_n
+            x, y, vx, vy = gen(gi)
+            # slab membership: shard_state's float32 floor-divide, exactly
+            slab = jnp.clip(
+                jnp.floor((x - spec.global_x0) / spec.slab_width)
+                .astype(jnp.int32), 0, D - 1)
+            mine = valid & (slab == d)
+            chunk = (jnp.where(mine, x, FAR), jnp.where(mine, y, FAR),
+                     jnp.where(mine, vx, 0.0), jnp.where(mine, vy, 0.0),
+                     jnp.where(mine, gi, -1))
+            return body(carry, chunk)
+
+        out, _ = jax.lax.scan(gen_body, vs._chunk_init_carry(g, spill_cap),
+                              jnp.arange(K, dtype=jnp.int32))
+        (xd, yd, vxd, vyd, idx_d, _cnt, overflow,
+         sx, sy, svx, svy, sidx) = out
+        r1 = lambda a: a.reshape((1,) + a.shape)
+        return tuple(map(r1, (
+            xd, yd, vxd, vyd, jnp.zeros_like(xd), xd, yd, idx_d,
+            occ_of(xd), jnp.float32(0.0), count_live(xd),
+            jnp.int32(0), overflow, jnp.int32(0), jnp.int32(0),
+            jnp.int32(1), sx, sy, svx, svy, sidx, jnp.int32(0))))
+
     def local_rebin(xd, yd, vxd, vyd, idx_d, overflow, lost, dropped,
                     sx, sy, svx, svy, sidx, readmitted):
         """Per-device rebin body, invoked from step_fn's JIT-LEVEL cond.
@@ -709,11 +762,16 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
         return tuple(map(r1, (xd, yd, vxd, vyd, rho_d, disp2)))
 
     dense_specs = (P(AXIS),) * 22
-    init_sharded = jax.shard_map(
-        local_init if init_chunks is None else local_init_chunked,
-        mesh=mesh,
-        in_specs=(P(AXIS),) * 6 + (P(),),
-        out_specs=dense_specs, check_vma=False)
+    if gen is not None:
+        init_sharded = jax.shard_map(
+            local_init_gen, mesh=mesh, in_specs=(P(),),
+            out_specs=dense_specs, check_vma=False)
+    else:
+        init_sharded = jax.shard_map(
+            local_init if init_chunks is None else local_init_chunked,
+            mesh=mesh,
+            in_specs=(P(AXIS),) * 6 + (P(),),
+            out_specs=dense_specs, check_vma=False)
     rebin_sharded = jax.shard_map(
         local_rebin, mesh=mesh,
         in_specs=(P(AXIS),) * 14,
@@ -740,9 +798,14 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
         return jnp.zeros((D, 1, 1, 1), jnp.float32)
 
     @jax.jit
-    def init_fn(s: sh.ShardedState) -> ShardedDenseSim:
-        sim = _pack(init_sharded(s.x, s.y, s.vx, s.vy, s.idx, s.alive,
-                                 s.step), s.step)
+    def init_fn(s) -> ShardedDenseSim:
+        # gen path: ``s`` is the (replicated) initial step scalar;
+        # state path: ``s`` is a ShardedState of [D, capacity] buffers.
+        if gen is not None:
+            sim = _pack(init_sharded(s), s)
+        else:
+            sim = _pack(init_sharded(s.x, s.y, s.vx, s.vy, s.idx, s.alive,
+                                     s.step), s.step)
         if refless:
             sim = dataclasses.replace(sim, ref_xd=_ref_none(),
                                       ref_yd=_ref_none())

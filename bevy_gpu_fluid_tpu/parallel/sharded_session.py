@@ -70,7 +70,7 @@ class ShardedSession:
                  init_chunks: int | None = None,
                  donate: bool = False,
                  refless_trigger: bool | None = None, _sim=None,
-                 _n: int | None = None):
+                 _n: int | None = None, _gen=None):
         """``planar_rebin``/``init_chunks``/``donate`` are the very-
         large-per-device-N knobs, the sharded twins of Session's (see
         models/verlet_solver.Session.__init__): plane-at-a-time collective
@@ -98,7 +98,8 @@ class ShardedSession:
             params, cfg, spec, mesh, stencils=stencils, fused=fused,
             interpret=interpret, n=self.n if recover else None,
             spill_cap=spill_cap, planar=planar_rebin,
-            init_chunks=init_chunks, refless=refless_trigger)
+            init_chunks=init_chunks, refless=refless_trigger,
+            gen=_gen, gen_n=self.n if _gen is not None else None)
         self._step = step_fn
         self._interpret = interpret
         # kwargs needed to rebuild this session from a checkpoint
@@ -143,10 +144,30 @@ class ShardedSession:
         self._sync = jax.default_backend() != "tpu"
         if state is not None:
             self.sim = init_fn(sh.shard_state(state, spec))
+        elif _gen is not None:
+            self.sim = init_fn(jnp.int32(0))
         else:
             self.sim = _sim
         if self._sync:
             jax.block_until_ready(self.sim.xd)
+
+    @classmethod
+    def from_generator(cls, gen, n: int, params: FluidParams,
+                       cfg: IntegrateConfig, spec: sh.ShardSpec, mesh=None,
+                       init_chunks: int = 16, donate: bool = True,
+                       **kw) -> "ShardedSession":
+        """Session whose initial scene is COMPUTED chunk-by-chunk per
+        device by ``gen`` (see ``core.state.lattice_gen`` and
+        ``shard_verlet.make_sharded_verlet_step``'s gen path) — the
+        top-of-per-device-HBM init: neither the [N] FluidState nor the
+        [D, capacity] ShardedState ever exists on device (together ~6-8
+        GiB coexisting with the dense planes at 128M/device — the init
+        OOM this path removes).  Bitwise the ShardedSession(state) init
+        for the same scene.  Defaults flip to the very-large-N posture
+        (``init_chunks=16``, ``donate=True``)."""
+        return cls(None, params, cfg, spec, mesh=mesh,
+                   init_chunks=init_chunks, donate=donate,
+                   _gen=gen, _n=n, **kw)
 
     # ---- stepping -------------------------------------------------------
 

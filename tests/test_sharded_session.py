@@ -176,3 +176,32 @@ def test_sharded_refless_trigger(sess2, baseline12):
     ids = np.asarray(b.sim.idx_d).reshape(-1)
     ids = np.sort(ids[ids >= 0])
     np.testing.assert_array_equal(ids, np.arange(state.n))
+
+
+def test_from_generator_bitwise(sess2, baseline12):
+    """ShardedSession.from_generator (per-device generator init — no [N]
+    FluidState or [D, capacity] ShardedState on device, the 128M/device
+    init-OOM fix) is BITWISE the shard_state + chunked-init construction
+    for the same scene: each device scans global-index chunks and keeps
+    its slab's particles; the chunk-init body's stable-rank machinery is
+    chunk-boundary-independent and slab compaction preserves original
+    particle order."""
+    s, state = sess2
+    a = baseline12
+
+    def gen(gi):
+        # the sess2 scene: init_grid(24, 6, 0.04) shifted x+0.3, vx=3.0
+        x = (gi % 24).astype(jnp.float32) * 0.04 + 0.3
+        y = (gi // 24).astype(jnp.float32) * 0.04
+        return x, y, jnp.full_like(x, 3.0), jnp.zeros_like(x)
+
+    b = ShardedSession.from_generator(gen, state.n, PARAMS, CFG, s.spec,
+                                      init_chunks=3, donate=False)
+    b.run(12)
+    assert b.rebin_count == a.rebin_count
+    assert b.overflow == a.overflow == 0
+    fa, fb = a.state(), b.state()
+    for f in ("x", "y", "vx", "vy", "rho"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(fa, f)), np.asarray(getattr(fb, f)),
+            err_msg=f"generator init diverged in {f}")

@@ -62,6 +62,13 @@ def main() -> int:
                     help="[--scale] split dispatches into K-step chunks "
                     "(tunneled-rig RPC-deadline mitigation, like "
                     "Session.run(chunk=))")
+    ap.add_argument("--gen", action="store_true",
+                    help="[--scale] generator init "
+                    "(ShardedSession.from_generator): the lattice is "
+                    "computed chunk-by-chunk per device — no [N] "
+                    "FluidState or [D, capacity] ShardedState on device "
+                    "(required past ~96M/device, where those init inputs "
+                    "coexisting with the dense planes OOM)")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--capacity-factor", type=float, default=2.0,
                     help="per-device particle-buffer size as a multiple of "
@@ -199,11 +206,17 @@ def scale_mode(args, n, side, params, cfg, spec, mesh) -> int:
           f"resident dense/device, capacity={spec.capacity})",
           file=sys.stderr, flush=True)
     planar = {"auto": None, "on": True, "off": False}[args.planar]
-    state = bgf.init_grid(side, side, 0.04)
     t0 = time.time()
-    sess = ShardedSession(state, params, cfg, spec, planar_rebin=planar,
-                          init_chunks=args.chunks, donate=True)
-    del state
+    if args.gen:
+        sess = ShardedSession.from_generator(
+            bgf.lattice_gen(side, 0.04), n, params, cfg, spec,
+            planar_rebin=planar, init_chunks=args.chunks, donate=True)
+    else:
+        state = bgf.init_grid(side, side, 0.04)
+        t0 = time.time()
+        sess = ShardedSession(state, params, cfg, spec, planar_rebin=planar,
+                              init_chunks=args.chunks, donate=True)
+        del state
     jax.block_until_ready(sess.sim.xd)
     t_init = time.time() - t0
     ck = args.chunk or None
