@@ -563,7 +563,7 @@ def _spill_admit(xd, yd, vxd, vyd, idx_d, cnt,
 def make_step_parts(params: FluidParams, cfg: IntegrateConfig,
                     grid: GridSpec2D, stencils=None, max_age: int = 64,
                     reslot=None, n: int | None = None, planar: bool = False,
-                    refless: bool = False):
+                    refless: bool = False, donors: bool = False):
     """Build the dense step DECOMPOSED as ``(pure_step, rebin_fn,
     need_fn)`` — the pieces ``make_step`` composes into the standard
     per-step ``cond(need, rebin) -> kernels`` shape.
@@ -587,9 +587,19 @@ def make_step_parts(params: FluidParams, cfg: IntegrateConfig,
     conservative bound (triangle inequality), so rebins fire somewhat
     earlier but the physics is identical.  NOT bitwise-comparable to the
     ref-based trigger (different rebin schedule -> different f32
-    summation order); fingerprint-guarded in checkpoints."""
+    summation order); fingerprint-guarded in checkpoints.
+
+    ``donors=True`` (requires ``planar`` and ``refless``) additionally
+    chains each planar apply into the PREVIOUS plane's dead buffer via
+    kernel-level ``input_output_aliases``, seeded by the dead rho plane
+    (rebin drops rho; the caller re-attaches a fresh plane — see
+    Session._run_segmented).  Only valid for a TOP-LEVEL donated rebin
+    dispatch whose argument order matches the chain (the rotated
+    ``rebin_one`` in Session._segmented_build): values are bitwise the
+    donor-less planar rebin's, but the output DenseSim carries a (1,1,1)
+    rho placeholder."""
     return _build_step(params, cfg, grid, stencils, max_age, reslot, n,
-                       planar, refless)
+                       planar, refless, donors)
 
 
 def make_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
@@ -635,7 +645,11 @@ def make_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
 
 def _build_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
                 stencils, max_age: int, reslot, n: int | None,
-                planar: bool, refless: bool = False):
+                planar: bool, refless: bool = False, donors: bool = False):
+    if donors and not (planar and refless):
+        raise ValueError("donors=True requires planar=True and "
+                         "refless=True (the donor chain is seeded by the "
+                         "dead rho plane and the ref placeholders)")
     fused = stencils is None
     # small grids take the MONO kernel (one launch/step, halo-rho
     # recomputed in-VMEM — ulp-level identical to the two-kernel path);
@@ -721,16 +735,34 @@ def _build_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
                 lambda op: op[0],
                 ((sx, sy, svx, svy, sidx), drops))
 
-        xd = reslot_ops.apply_code_pallas(sim.xd, code, sim.occ, grid,
-                                          FAR, interp)
-        yd = reslot_ops.apply_code_pallas(sim.yd, code, sim.occ, grid,
-                                          FAR, interp)
-        vxd = reslot_ops.apply_code_pallas(sim.vxd, code, sim.occ, grid,
-                                           0.0, interp)
-        vyd = reslot_ops.apply_code_pallas(sim.vyd, code, sim.occ, grid,
-                                           0.0, interp)
-        idx_d = reslot_ops.apply_code_pallas(sim.idx_d, code, sim.occ, grid,
-                                             -1, interp)
+        if donors:
+            # donor chain (see make_step_parts / apply_code_pallas): each
+            # apply writes into the previous plane's dead buffer, seeded
+            # by the dead rho plane; idx lands in vyd's buffer (bitcast)
+            xd = reslot_ops.apply_code_pallas(sim.xd, code, sim.occ, grid,
+                                              FAR, interp, out=sim.rho_d)
+            yd = reslot_ops.apply_code_pallas(sim.yd, code, sim.occ, grid,
+                                              FAR, interp, out=sim.xd)
+            vxd = reslot_ops.apply_code_pallas(sim.vxd, code, sim.occ,
+                                               grid, 0.0, interp,
+                                               out=sim.yd)
+            vyd = reslot_ops.apply_code_pallas(sim.vyd, code, sim.occ,
+                                               grid, 0.0, interp,
+                                               out=sim.vxd)
+            idx_d = reslot_ops.apply_code_pallas(
+                sim.idx_d, code, sim.occ, grid, -1, interp,
+                out=jax.lax.bitcast_convert_type(sim.vyd, jnp.int32))
+        else:
+            xd = reslot_ops.apply_code_pallas(sim.xd, code, sim.occ, grid,
+                                              FAR, interp)
+            yd = reslot_ops.apply_code_pallas(sim.yd, code, sim.occ, grid,
+                                              FAR, interp)
+            vxd = reslot_ops.apply_code_pallas(sim.vxd, code, sim.occ,
+                                               grid, 0.0, interp)
+            vyd = reslot_ops.apply_code_pallas(sim.vyd, code, sim.occ,
+                                               grid, 0.0, interp)
+            idx_d = reslot_ops.apply_code_pallas(sim.idx_d, code, sim.occ,
+                                                 grid, -1, interp)
 
         if n is not None:
             vmax2 = (skin_half / cfg.dt) ** 2
@@ -742,7 +774,12 @@ def _build_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
                             op[6], op[7], op[8], op[9], op[10], op[11]),
                 (xd, yd, vxd, vyd, idx_d, cnt,
                  sx, sy, svx, svy, sidx, readmitted))
-        return DenseSim(xd=xd, yd=yd, vxd=vxd, vyd=vyd, rho_d=sim.rho_d,
+        # donors: rho's buffer now holds the new xd — the output carries a
+        # (1,1,1) placeholder and the segmented driver re-attaches a fresh
+        # zero plane (rho is recomputed from scratch by the next step's
+        # density via its rho_out alias, so the value was dead either way)
+        return DenseSim(xd=xd, yd=yd, vxd=vxd, vyd=vyd,
+                        rho_d=_ref_placeholder() if donors else sim.rho_d,
                         ref_xd=_ref_placeholder() if refless else xd,
                         ref_yd=_ref_placeholder() if refless else yd,
                         idx_d=idx_d,
@@ -1169,6 +1206,10 @@ class Session:
             n=n if recovery else None, planar=planar_rebin,
             refless=refless_trigger)
         self._parts = (pure_step, rebin_fn, need_fn)
+        # enough to rebuild variants of the parts (the segmented driver's
+        # donor-chain rebin); captures the post-adjustment stencils
+        self._parts_kw = dict(stencils=stencils, max_age=max_age,
+                              reslot=reslot, n=n if recovery else None)
         self._donate = donate
         self._segmented_fns = None   # built lazily on first segmented run
 
@@ -1265,11 +1306,50 @@ class Session:
                 sim, i = jax.lax.while_loop(go, body, (sim, jnp.int32(0)))
                 return sim, i, need_fn(sim)
 
-            @partial(jax.jit, donate_argnums=dn)
-            def rebin_one(sim):
-                return rebin_fn(sim)
+            rotated = (self._donate and self.refless_trigger
+                       and self.planar_rebin)
+            if rotated:
+                # Donor-chain rebin (see make_step_parts donors=True): the
+                # planes ride POSITIONALLY with rho FIRST, so jax's greedy
+                # donation pairing (first-fit by aval in flatten order)
+                # lands each apply output exactly on the kernel-declared
+                # donor: new_xd->rho's buffer, new_yd->xd's, ... and
+                # new_idx->vyd's (kernel bitcast alias; s32 never
+                # self-pairs because idx_d is NOT donated).  A whole-
+                # DenseSim rebin would self-pair xd->xd etc., which a
+                # halo-DMA kernel cannot satisfy in place — XLA resolves
+                # it with full-plane input copies (2-4 planes; the
+                # probe-measured 192M rebin RESOURCE_EXHAUSTED).
+                _, rebin_rot, _ = _build_step(
+                    self.params, self.cfg, self.grid,
+                    self._parts_kw["stencils"], self._parts_kw["max_age"],
+                    self._parts_kw["reslot"], self._parts_kw["n"],
+                    planar=True, refless=True, donors=True)
 
-            self._segmented_fns = (step_until, rebin_one)
+                @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
+                def rebin_one(rho_d, xd, yd, vxd, vyd, idx_d, rest):
+                    (occ, disp2, age, overflow, lost, rebin_count, step,
+                     sx, sy, svx, svy, sidx, readmitted) = rest
+                    sim = DenseSim(xd=xd, yd=yd, vxd=vxd, vyd=vyd,
+                                   rho_d=rho_d,
+                                   ref_xd=_ref_placeholder(),
+                                   ref_yd=_ref_placeholder(),
+                                   idx_d=idx_d, occ=occ, disp2=disp2,
+                                   age=age, overflow=overflow, lost=lost,
+                                   rebin_count=rebin_count, step=step,
+                                   sx=sx, sy=sy, svx=svx, svy=svy,
+                                   sidx=sidx, readmitted=readmitted)
+                    return rebin_rot(sim)
+
+                shape = (self.grid.ny_pad, self.grid.cap, self.grid.nx_pad)
+                self._rho_zeros = jax.jit(
+                    lambda: jnp.zeros(shape, jnp.float32))
+            else:
+                @partial(jax.jit, donate_argnums=dn)
+                def rebin_one(sim):
+                    return rebin_fn(sim)
+
+            self._segmented_fns = (step_until, rebin_one, rotated)
         return self._segmented_fns
 
     def _run_segmented(self, n_steps: int, chunk: int | None) -> None:
@@ -1281,7 +1361,7 @@ class Session:
         dispatched exactly when a step's pre-check would have taken the
         cond branch (a segment ending at its step bound with the trigger
         clear just continues in the next dispatch)."""
-        step_until, rebin_one = self._segmented_build()
+        step_until, rebin_one, rotated = self._segmented_build()
         cap = n_steps if chunk is None else chunk
         done = 0
         while done < n_steps:
@@ -1289,7 +1369,19 @@ class Session:
             self.sim, did, need = step_until(self.sim, jnp.int32(k))
             done += int(did)
             if done < n_steps and bool(need):
-                self.sim = rebin_one(self.sim)
+                if rotated:
+                    s = self.sim
+                    rest = (s.occ, s.disp2, s.age, s.overflow, s.lost,
+                            s.rebin_count, s.step, s.sx, s.sy, s.svx,
+                            s.svy, s.sidx, s.readmitted)
+                    out = rebin_one(s.rho_d, s.xd, s.yd, s.vxd, s.vyd,
+                                    s.idx_d, rest)
+                    del s
+                    self.sim = None     # drop idx ref before fresh rho
+                    self.sim = dataclasses.replace(
+                        out, rho_d=self._rho_zeros())
+                else:
+                    self.sim = rebin_one(self.sim)
 
     def run_frame(self, substeps: int = 16, px_per_cell: int = 2,
                   mode: str = "density"):
@@ -1357,7 +1449,8 @@ class Session:
                 reslot=None, recovery: bool = True,
                 planar_rebin: bool | None = None,
                 segmented: bool | None = None,
-                refless_trigger: bool | None = None) -> "Session":
+                refless_trigger: bool | None = None,
+                donate: bool = False) -> "Session":
         """Rebuild a Session from ``save``.  Non-serializable knobs
         (stencils / reslot backend, max_age, recovery, refless_trigger)
         are re-supplied here and must match the saved run's for bitwise
@@ -1366,7 +1459,11 @@ class Session:
         one are accepted unchecked; ``planar_rebin`` is bit-neutral
         either way).  ``refless_trigger=None`` resolves to the grid's
         auto default BEFORE the fingerprint check, so ceiling-posture
-        artifacts restore without re-supplying the knob."""
+        artifacts restore without re-supplying the knob.  ``donate``
+        (bit-neutral, like planar_rebin) should be re-armed when
+        continuing a ceiling-posture run — without it the donor-chain
+        rebin and donated dispatches fall back to the copying forms,
+        which RESOURCE_EXHAUST at the sizes those postures exist for."""
         from ..utils import checkpoint
         sim, grid, params, cfg, n = checkpoint.load_dense(path)
         if refless_trigger is None:
@@ -1378,7 +1475,8 @@ class Session:
             "Session.restore")
         self = cls.__new__(cls)
         self._setup(params, cfg, grid, n, stencils, max_age, reslot,
-                    recovery=recovery, planar_rebin=planar_rebin,
+                    donate=donate, recovery=recovery,
+                    planar_rebin=planar_rebin,
                     segmented=segmented, refless_trigger=refless_trigger)
         self.sim = sim
         return self

@@ -518,31 +518,53 @@ def _apply_kernel(occ, code_ref, p_hbm, out_ref, psl, sems, *, tb, fill):
 
 
 def apply_code_pallas(payload, code, occ, grid: GridSpec2D, fill,
-                      interpret: bool | None = None):
+                      interpret: bool | None = None, out=None):
     """Planar-rebin phase 2: route ONE payload plane through the code.
     ``occ`` is the pre-rebin block_kmax3 (bounds source kj; code never
-    references a slot past it).  Ghost blocks come back as ``fill``."""
+    references a slot past it).  Ghost blocks come back as ``fill``.
+
+    ``out`` optionally supplies a DEAD plane (same shape/dtype) whose
+    buffer the output is written over (``input_output_aliases``, the
+    density ``rho_out`` pattern).  The kernel never reads it.  This is
+    the HBM-ceiling donor chain: a must-alias pairing of an apply's
+    output onto its OWN payload buffer is illegal (the halo-slab DMA
+    reads neighbour rows a self-overwrite would corrupt), which XLA
+    resolves with a full-plane input copy — 2-4 copied planes were the
+    192M rebin RESOURCE_EXHAUSTED.  Chaining each apply into the
+    PREVIOUS plane's dead buffer (seeded by the dead rho plane) needs no
+    copies at all."""
     if interpret is None:
         interpret = _interpret_default()
     tb = grid.row_block
     kernel = functools.partial(_apply_kernel, tb=tb, fill=fill)
     block = pl.BlockSpec((tb, grid.cap, grid.nx_pad), lambda r: (r + 1, 0, 0))
     slab = pltpu.VMEM((tb + 2, grid.cap, grid.nx_pad), payload.dtype)
-    out = pl.pallas_call(
+    in_specs = [pl.BlockSpec((3, grid.n_row_blocks), lambda r: (0, 0),
+                             memory_space=pltpu.SMEM),
+                block,
+                pl.BlockSpec(memory_space=pl.ANY)]
+    operands = [occ, code, payload]
+    alias = {}
+    if out is not None:
+        inner = kernel
+        kernel = lambda oc, cr, ph, _dead, out_ref, psl, sems: \
+            inner(oc, cr, ph, out_ref, psl, sems)
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        operands.append(out)
+        alias = {3: 0}
+    out_arr = pl.pallas_call(
         kernel,
         grid=(grid.n_row_blocks,),
-        in_specs=[pl.BlockSpec((3, grid.n_row_blocks), lambda r: (0, 0),
-                               memory_space=pltpu.SMEM),
-                  block,
-                  pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=in_specs,
         out_specs=block,
         out_shape=jax.ShapeDtypeStruct(payload.shape, payload.dtype),
         scratch_shapes=[slab, pltpu.SemaphoreType.DMA((1,))],
+        input_output_aliases=alias,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(occ, code, payload)
-    return out.at[:tb].set(fill).at[-tb:].set(fill)
+    )(*operands)
+    return out_arr.at[:tb].set(fill).at[-tb:].set(fill)
 
 
 def taken_mask(code: jax.Array, cap: int) -> jax.Array:

@@ -179,6 +179,37 @@ def test_refless_trigger_posture():
     assert bool(jnp.isfinite(sb.x).all())
 
 
+def test_segmented_donor_chain_rebin_matches_standard():
+    """The donor-chain rebin (the full >176M posture: segmented + donated
+    + planar + refless => the rotated ``rebin_one`` whose applies write
+    into the previous plane's dead buffer, rho seeding the chain) walks
+    the SAME trajectory as the refless standard driver — bitwise, across
+    chunked run() boundaries.  The chain is a buffer-placement change
+    only; values, schedules, and diagnostics must be identical."""
+    state = init_grid(20, 20, 0.04)
+    a = verlet_solver.Session(state, PARAMS, CFG, GRID,
+                              refless_trigger=True)
+    a.run(30)
+    a.run(20)
+    b = verlet_solver.Session(state, PARAMS, CFG, GRID,
+                              refless_trigger=True, planar_rebin=True,
+                              donate=True, segmented=True)
+    _, _, rotated = b._segmented_build()
+    assert rotated, "posture must select the donor-chain rebin"
+    b.run(30)
+    b.run(20, chunk=12)
+    assert int(a.sim.rebin_count) == int(b.sim.rebin_count) > 0
+    assert int(a.sim.step) == int(b.sim.step) == 50
+    assert a.overflow == b.overflow == 0
+    for f in ("xd", "yd", "vxd", "vyd", "idx_d", "age"):
+        np.testing.assert_array_equal(np.asarray(getattr(a.sim, f)),
+                                      np.asarray(getattr(b.sim, f)),
+                                      err_msg=f)
+    # rho after a run always comes from the last pure step: equal too
+    np.testing.assert_array_equal(np.asarray(a.sim.rho_d),
+                                  np.asarray(b.sim.rho_d))
+
+
 def test_refless_restore_fingerprint(tmp_path):
     import bevy_gpu_fluid_tpu as bgf
     from bevy_gpu_fluid_tpu.models import verlet_solver

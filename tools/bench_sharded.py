@@ -238,14 +238,24 @@ def scale_mode(args, n, side, params, cfg, spec, mesh) -> int:
 
     alive = sum(sess.alive)
     ovf, drp = sess.overflow, sess.dropped
+
     # identity, checked ON DEVICE (a host pull of the idx planes at 96M is
     # a multi-minute 20 MB/s transfer): the live ids must be exactly the
-    # permutation 0..n-1 — occurrence counts via one scatter-add
-    ids = sess.sim.idx_d.reshape(-1)
-    cnt = jnp.zeros((n,), jnp.int32).at[
-        jnp.where(ids >= 0, ids, n)].add(1, mode="drop")
-    id_ok = bool((jnp.max(cnt) == 1) & (jnp.sum(cnt) == alive))
-    finite = bool(jnp.isfinite(sess.sim.xd[sess.sim.xd < 1e8]).all())
+    # permutation 0..n-1 — occurrence counts via one scatter-add.  ONE
+    # fused jit program: the eager op-by-op form materializes several
+    # [total]-sized temps next to the resident planes (the 128M run
+    # finished its 600 steps and then RESOURCE_EXHAUSTED in this check)
+    @jax.jit
+    def _diag(idx_d, xd):
+        ids = idx_d.reshape(-1)
+        cnt = jnp.zeros((n,), jnp.int32).at[
+            jnp.where(ids >= 0, ids, n)].add(1, mode="drop")
+        fin = jnp.isfinite(jnp.where(xd < 1e8, xd, 0.0)).all()
+        return jnp.max(cnt), jnp.sum(cnt), fin
+
+    mx, sm, fin = _diag(sess.sim.idx_d, sess.sim.xd)
+    id_ok = bool(mx == 1) and int(sm) == alive
+    finite = bool(fin)
     ok = alive == n and ovf == 0 and drp == 0 and id_ok and finite
     print(f"# sharded-scale D={args.devices} n={n} init={t_init:.1f}s "
           f"warmup={t_warm:.1f}s {ms:.1f} ms/step = {rate / 1e6:.1f}M "

@@ -94,12 +94,20 @@ def main() -> int:
         ph = jax.ShapeDtypeStruct((1, 1, 1), jnp.float32)
         sim_shapes = _dc.replace(sim_shapes, ref_xd=ph, ref_yd=ph)
 
-    step_until, rebin_one = sess._segmented_build()
+    step_until, rebin_one, rotated = sess._segmented_build()
     k_shape = jax.ShapeDtypeStruct((), jnp.int32)
     _report("step_until (segmented while_loop, donated)",
             step_until.lower(sim_shapes, k_shape).compile())
-    _report("rebin_one (planar rebin, donated)",
-            rebin_one.lower(sim_shapes).compile())
+    if rotated:
+        s = sim_shapes
+        rest = (s.occ, s.disp2, s.age, s.overflow, s.lost, s.rebin_count,
+                s.step, s.sx, s.sy, s.svx, s.svy, s.sidx, s.readmitted)
+        _report("rebin_one (planar rebin, donor-chain rotated)",
+                rebin_one.lower(s.rho_d, s.xd, s.yd, s.vxd, s.vyd,
+                                s.idx_d, rest).compile())
+    else:
+        _report("rebin_one (planar rebin, donated)",
+                rebin_one.lower(sim_shapes).compile())
     if args.standard:
         _report("run_k(150) (standard scan w/ rebin cond, donated)",
                 sess._run_k.lower(sim_shapes, 150).compile())
