@@ -724,11 +724,20 @@ def _build_step(params: FluidParams, cfg: IntegrateConfig, grid: GridSpec2D,
                 (code, sim.idx_d))
             dv = dpos < total
             dsf = jnp.minimum(dpos, total - 1)
-            drops = (jnp.where(dv, sim.xd.reshape(-1)[dsf], FAR),
-                     jnp.where(dv, sim.yd.reshape(-1)[dsf], FAR),
-                     jnp.where(dv, sim.vxd.reshape(-1)[dsf], 0.0),
-                     jnp.where(dv, sim.vyd.reshape(-1)[dsf], 0.0),
-                     jnp.where(dv, sim.idx_d.reshape(-1)[dsf], -1))
+            # 3D gathers: decompose the flat C-order positions instead of
+            # reshaping the planes — a [total] reshape of a (8,128)-tiled
+            # plane is a full-plane relayout copy, and five of them were
+            # most of the rotated rebin's 7.3 GiB TEMP at 192M
+            _, CAP, C = sim.xd.shape
+            dr = dsf // (CAP * C)
+            drem = dsf - dr * (CAP * C)
+            dslot = drem // C
+            dcol = drem - dslot * C
+            drops = (jnp.where(dv, sim.xd[dr, dslot, dcol], FAR),
+                     jnp.where(dv, sim.yd[dr, dslot, dcol], FAR),
+                     jnp.where(dv, sim.vxd[dr, dslot, dcol], 0.0),
+                     jnp.where(dv, sim.vyd[dr, dslot, dcol], 0.0),
+                     jnp.where(dv, sim.idx_d[dr, dslot, dcol], -1))
             sx, sy, svx, svy, sidx = jax.lax.cond(
                 need,
                 lambda op: _spill_merge(op[0], op[1]),

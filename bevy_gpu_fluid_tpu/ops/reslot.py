@@ -594,12 +594,20 @@ def taken_mask(code: jax.Array, cap: int) -> jax.Array:
         slot = jax.lax.dynamic_slice(code, (0, k, 0), (R, 1, C))
         pslot = jnp.pad(slot, ((1, 1), (0, 0), (1, 1)),
                         constant_values=_CODE_EMPTY)
-        for s in range(9):
-            win = jax.lax.slice(pslot, (s // 3, 0, s % 3),
-                                (s // 3 + R, 1, s % 3 + C))
-            enc = kiota * 9 + (2 - s % 3) * 3 + (2 - s // 3)
-            taken = taken | (win == enc)
-        return taken
+
+        # fori over the 9 shifted windows (NOT a python unroll): buffer
+        # assignment gave every unrolled window slice its own [R, 1, C]
+        # temp (~10 x 213 MB live at once at 192M — the bulk of the
+        # rotated rebin's conditional arena); the loop bounds liveness to
+        # one window slice per iteration
+        def _shift(s, tk):
+            sy = s // 3
+            sx = s - sy * 3
+            win = jax.lax.dynamic_slice(pslot, (sy, 0, sx), (R, 1, C))
+            enc = kiota * 9 + (2 - sx) * 3 + (2 - sy)
+            return tk | (win == enc)
+
+        return jax.lax.fori_loop(0, 9, _shift, taken)
 
     return jax.lax.fori_loop(0, cap, _body,
                              jnp.zeros(code.shape, bool))

@@ -811,43 +811,33 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
                                       ref_yd=_ref_none())
         return sim
 
-    @jax.jit
-    def step_fn(sim: ShardedDenseSim) -> ShardedDenseSim:
+    def _need_of(sim: ShardedDenseSim):
         # Collective rebin trigger, evaluated OUTSIDE shard_map on the tiny
         # [D] per-device disp2/age vectors (any device over skin -> all
         # rebin; XLA inserts the scalar all-reduce itself, and at D=1 it's
-        # free).  The cond sits at the JIT level over the scan carry — the
-        # flagship-equivalent structure whose untaken branch ALIASES the
-        # carry.  The previous design conded per-device INSIDE shard_map,
-        # and the identity branch copied all 20 plane operands in and out
-        # on every no-rebin step: ~0.3 ms/step at 1M, the entire sharded-
-        # vs-flagship D=1 base gap isolated by tools/exp_shard_gap.py
-        # (BASELINE.json round4_sharded_glue).
-        if refless:
-            need = jnp.any((sim.disp2 > skin_half) | (sim.age >= max_age))
-        else:
-            thr = skin_half * skin_half
-            need = jnp.any((sim.disp2 > thr) | (sim.age >= max_age))
+        # free).
+        thr = skin_half if refless else skin_half * skin_half
+        return jnp.any((sim.disp2 > thr) | (sim.age >= max_age))
 
-        def do_rebin(s: ShardedDenseSim) -> ShardedDenseSim:
-            (xd, yd, vxd, vyd, idx_d, occ, ovf, lost, drp,
-             sx, sy, svx, svy, sidx, readm, alive) = rebin_sharded(
-                s.xd, s.yd, s.vxd, s.vyd, s.idx_d, s.overflow, s.lost,
-                s.dropped, s.sx, s.sy, s.svx, s.svy, s.sidx, s.readmitted)
-            return dataclasses.replace(
-                s, xd=xd, yd=yd, vxd=vxd, vyd=vyd, idx_d=idx_d, occ=occ,
-                ref_xd=_ref_none() if refless else xd,
-                ref_yd=_ref_none() if refless else yd, alive=alive,
-                age=jnp.zeros_like(s.age),
-                # refless: the accumulated bound restarts at a rebin
-                # (ref-based keeps the passthrough — purestep overwrites)
-                disp2=jnp.zeros_like(s.disp2) if refless else s.disp2,
-                overflow=ovf, lost=lost,
-                dropped=drp, rebin_count=s.rebin_count + 1,
-                sx=sx, sy=sy, svx=svx, svy=svy, sidx=sidx,
-                readmitted=readm)
+    def _do_rebin(s: ShardedDenseSim) -> ShardedDenseSim:
+        (xd, yd, vxd, vyd, idx_d, occ, ovf, lost, drp,
+         sx, sy, svx, svy, sidx, readm, alive) = rebin_sharded(
+            s.xd, s.yd, s.vxd, s.vyd, s.idx_d, s.overflow, s.lost,
+            s.dropped, s.sx, s.sy, s.svx, s.svy, s.sidx, s.readmitted)
+        return dataclasses.replace(
+            s, xd=xd, yd=yd, vxd=vxd, vyd=vyd, idx_d=idx_d, occ=occ,
+            ref_xd=_ref_none() if refless else xd,
+            ref_yd=_ref_none() if refless else yd, alive=alive,
+            age=jnp.zeros_like(s.age),
+            # refless: the accumulated bound restarts at a rebin
+            # (ref-based keeps the passthrough — purestep overwrites)
+            disp2=jnp.zeros_like(s.disp2) if refless else s.disp2,
+            overflow=ovf, lost=lost,
+            dropped=drp, rebin_count=s.rebin_count + 1,
+            sx=sx, sy=sy, svx=svx, svy=svy, sidx=sidx,
+            readmitted=readm)
 
-        sim = jax.lax.cond(need, do_rebin, lambda s: s, sim)
+    def _pure(sim: ShardedDenseSim) -> ShardedDenseSim:
         xd, yd, vxd, vyd, rho_d, disp2 = purestep_sharded(
             sim.xd, sim.yd, sim.vxd, sim.vyd, sim.ref_xd, sim.ref_yd,
             sim.occ)
@@ -857,7 +847,85 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
             sim, xd=xd, yd=yd, vxd=vxd, vyd=vyd, rho_d=rho_d, disp2=disp2,
             age=sim.age + 1, step=sim.step + 1)
 
-    return init_fn, step_fn
+    @jax.jit
+    def step_fn(sim: ShardedDenseSim) -> ShardedDenseSim:
+        # The cond sits at the JIT level over the scan carry — the
+        # flagship-equivalent structure whose untaken branch ALIASES the
+        # carry.  The previous design conded per-device INSIDE shard_map,
+        # and the identity branch copied all 20 plane operands in and out
+        # on every no-rebin step: ~0.3 ms/step at 1M, the entire sharded-
+        # vs-flagship D=1 base gap isolated by tools/exp_shard_gap.py
+        # (BASELINE.json round4_sharded_glue).
+        sim = jax.lax.cond(_need_of(sim), _do_rebin, lambda s: s, sim)
+        return _pure(sim)
+
+    def make_segmented(donate: bool = True):
+        """The sharded HBM-ceiling run driver pieces, the twin of
+        Session._segmented_build: ``step_until`` runs pure steps in a
+        while_loop with NO rebin cond in the program (no cond temp
+        planes), ``rebin_one`` is the rebin as its own donated dispatch.
+        With ``refless`` the rebin is ROTATED (planes positional, rho
+        first): jax's greedy donation pairing lands each apply output in
+        the previous plane's dead buffer instead of self-pairing, which
+        a halo-DMA kernel can only satisfy with full-plane input copies.
+        Returns (step_until, rebin_one, rotated); trajectories are
+        BITWISE step_fn's (same pre-step trigger check)."""
+        dn = (0,) if donate else ()
+
+        @partial(jax.jit, donate_argnums=dn)
+        def step_until(sim, k):
+            def go(c):
+                s, i = c
+                return jnp.logical_and(~_need_of(s), i < k)
+
+            def body(c):
+                s, i = c
+                return _pure(s), i + 1
+
+            sim, i = jax.lax.while_loop(go, body, (sim, jnp.int32(0)))
+            return sim, i, _need_of(sim)
+
+        rotated = bool(donate and refless)
+        if rotated:
+            @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
+            def rebin_one(rho_d, xd, yd, vxd, vyd, idx_d, rest):
+                (occ, disp2, alive, age, overflow, lost, dropped,
+                 rebin_count, step, sx, sy, svx, svy, sidx,
+                 readmitted) = rest
+                sim = ShardedDenseSim(
+                    xd=xd, yd=yd, vxd=vxd, vyd=vyd, rho_d=rho_d,
+                    ref_xd=_ref_none(), ref_yd=_ref_none(), idx_d=idx_d,
+                    occ=occ, disp2=disp2, alive=alive, age=age,
+                    overflow=overflow, lost=lost, dropped=dropped,
+                    rebin_count=rebin_count, step=step, sx=sx, sy=sy,
+                    svx=svx, svy=svy, sidx=sidx, readmitted=readmitted)
+                out = _do_rebin(sim)
+                # rho's buffer now holds the new xd (pairing rotation);
+                # the driver re-attaches a fresh zero plane
+                return dataclasses.replace(out, rho_d=_ref_none())
+        else:
+            @partial(jax.jit, donate_argnums=dn)
+            def rebin_one(sim):
+                return _do_rebin(sim)
+
+        return step_until, rebin_one, rotated
+
+    return _StepFns(init_fn, step_fn, make_segmented)
+
+
+class _StepFns:
+    """(init_fn, step_fn) with the segmented-driver factory riding along:
+    unpacks as the historical 2-tuple (``init_fn, step_fn = ...``) so the
+    twenty-odd existing call sites are untouched; ShardedSession reaches
+    ``.make_segmented`` for the HBM-ceiling driver."""
+
+    def __init__(self, init_fn, step_fn, make_segmented):
+        self.init_fn = init_fn
+        self.step_fn = step_fn
+        self.make_segmented = make_segmented
+
+    def __iter__(self):
+        return iter((self.init_fn, self.step_fn))
 
 
 def extract_state(sim: ShardedDenseSim, spec: sh.ShardSpec,

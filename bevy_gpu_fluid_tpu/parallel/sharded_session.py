@@ -69,6 +69,7 @@ class ShardedSession:
                  planar_rebin: bool | None = None,
                  init_chunks: int | None = None,
                  donate: bool = False,
+                 segmented: bool | None = None,
                  refless_trigger: bool | None = None, _sim=None,
                  _n: int | None = None, _gen=None):
         """``planar_rebin``/``init_chunks``/``donate`` are the very-
@@ -94,13 +95,21 @@ class ShardedSession:
             from ..models.verlet_solver import refless_trigger_default
             refless_trigger = refless_trigger_default(spec.local_grid)
         self.refless_trigger = refless_trigger
-        init_fn, step_fn = shard_verlet.make_sharded_verlet_step(
+        if segmented is None:
+            from ..models.verlet_solver import segmented_run_default
+            segmented = segmented_run_default(spec.local_grid)
+        self.segmented = segmented
+        bundle = shard_verlet.make_sharded_verlet_step(
             params, cfg, spec, mesh, stencils=stencils, fused=fused,
             interpret=interpret, n=self.n if recover else None,
             spill_cap=spill_cap, planar=planar_rebin,
             init_chunks=init_chunks, refless=refless_trigger,
             gen=_gen, gen_n=self.n if _gen is not None else None)
+        init_fn, step_fn = bundle
         self._step = step_fn
+        self._donate = donate
+        self._make_segmented = bundle.make_segmented
+        self._segmented_fns = None      # built lazily on first run
         self._interpret = interpret
         # kwargs needed to rebuild this session from a checkpoint
         # (planar_rebin is bit-neutral; init_chunks/donate are init/driver
@@ -178,7 +187,9 @@ class ShardedSession:
         dispatches of one reused program — the long-dispatch RPC-deadline
         mitigation for tunneled rigs at very large per-device N (the same
         contract as Session.run(chunk=), bitwise-identical trajectory)."""
-        if chunk is None or chunk >= n_steps:
+        if self.segmented:
+            self._run_segmented(n_steps, chunk)
+        elif chunk is None or chunk >= n_steps:
             self.sim = self._run_k(self.sim, n_steps)
         else:
             done = 0
@@ -188,6 +199,47 @@ class ShardedSession:
                 done += k
         if self._sync:
             jax.block_until_ready(self.sim.xd)
+
+    def _run_segmented(self, n_steps: int, chunk: int | None) -> None:
+        """The sharded HBM-ceiling run driver (auto past the per-device
+        segmented threshold): the rebin runs as its OWN donated dispatch
+        at the jit top level (ROTATED when refless — apply outputs land
+        in the previous plane's dead buffers, rho seeding the chain, so
+        no full-plane copies) and the hot while_loop program carries no
+        rebin cond.  Bitwise the standard scan's trajectory — dispatched
+        exactly when a step's pre-check would have rebinned."""
+        if self._segmented_fns is None:
+            self._segmented_fns = self._make_segmented(self._donate)
+            if self._segmented_fns[2]:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                g = self.spec.local_grid
+                shape = (self.spec.n_devices, g.ny_pad, g.cap, g.nx_pad)
+                sh = NamedSharding(self.mesh, P(shard_verlet.AXIS))
+                self._rho_zeros = jax.jit(
+                    lambda: jnp.zeros(shape, jnp.float32),
+                    out_shardings=sh)
+        step_until, rebin_one, rotated = self._segmented_fns
+        cap = n_steps if chunk is None else chunk
+        done = 0
+        while done < n_steps:
+            k = min(cap, n_steps - done)
+            self.sim, did, need = step_until(self.sim, jnp.int32(k))
+            done += int(did)
+            if done < n_steps and bool(need):
+                if rotated:
+                    s = self.sim
+                    rest = (s.occ, s.disp2, s.alive, s.age, s.overflow,
+                            s.lost, s.dropped, s.rebin_count, s.step,
+                            s.sx, s.sy, s.svx, s.svy, s.sidx,
+                            s.readmitted)
+                    out = rebin_one(s.rho_d, s.xd, s.yd, s.vxd, s.vyd,
+                                    s.idx_d, rest)
+                    del s
+                    self.sim = None     # drop old idx ref before fresh rho
+                    self.sim = dataclasses.replace(
+                        out, rho_d=self._rho_zeros())
+                else:
+                    self.sim = rebin_one(self.sim)
 
     def _frame_fns(self, px_per_cell: int, mode: str):
         key = (px_per_cell, mode)

@@ -178,6 +178,34 @@ def test_sharded_refless_trigger(sess2, baseline12):
     np.testing.assert_array_equal(ids, np.arange(state.n))
 
 
+def test_sharded_segmented_donor_chain_matches_standard(sess2):
+    """The sharded HBM-ceiling driver (ShardedSession(segmented=True):
+    cond-free while_loop segments + the ROTATED donated rebin dispatch —
+    apply outputs land in the previous plane's dead buffers, rho seeding
+    the chain) walks the SAME trajectory as the standard cond-in-scan
+    step on the D=2 migration scene — bitwise, rebin counters included,
+    across chunked run() boundaries."""
+    s, state = sess2
+    a = ShardedSession(state, PARAMS, CFG, s.spec, refless_trigger=True)
+    a.run(24)
+    b = ShardedSession(state, PARAMS, CFG, s.spec, refless_trigger=True,
+                       planar_rebin=True, donate=True, segmented=True)
+    b._run_segmented(0, None)  # force-build to check the posture
+    assert b._segmented_fns[2], "refless+donate must select the rotation"
+    b.run(14)
+    b.run(10, chunk=6)
+    np.testing.assert_array_equal(np.asarray(a.sim.rebin_count),
+                                  np.asarray(b.sim.rebin_count))
+    assert int(np.max(np.asarray(b.sim.rebin_count))) > 1
+    assert int(a.sim.step) == int(b.sim.step) == 24
+    for f in ("xd", "yd", "vxd", "vyd", "idx_d", "age"):
+        np.testing.assert_array_equal(np.asarray(getattr(a.sim, f)),
+                                      np.asarray(getattr(b.sim, f)),
+                                      err_msg=f)
+    np.testing.assert_array_equal(np.asarray(a.sim.rho_d),
+                                  np.asarray(b.sim.rho_d))
+
+
 def test_from_generator_bitwise(sess2, baseline12):
     """ShardedSession.from_generator (per-device generator init — no [N]
     FluidState or [D, capacity] ShardedState on device, the 128M/device
