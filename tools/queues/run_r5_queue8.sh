@@ -20,11 +20,15 @@ timeout 21600 python tools/bench_scale.py --n 192000000 --warmup-steps 0 \
     --bisect 150 --steps 600 --reps 1 > /tmp/r5_scale192d.log 2>&1
 echo "192M exit=$?" >> /tmp/r5_queue8.log
 
-echo "=== $(date) sharded 128M/device D=1 (--gen)" >> /tmp/r5_queue8.log
-timeout 21600 python tools/bench_sharded.py --scale --gen --n 128000000 \
-    --devices 1 --capacity-factor 1.0 --chunks 16 --warmup-steps 0 \
-    --chunk 150 --steps 600 --reps 1 > /tmp/r5_shard128d.log 2>&1
-echo "128M exit=$?" >> /tmp/r5_queue8.log
+if grep -q '"ok": true' /tmp/r5_shard128c.log 2>/dev/null; then
+    echo "128M already clean in queue 7 - skipped" >> /tmp/r5_queue8.log
+else
+    echo "=== $(date) sharded 128M/device D=1 (--gen)" >> /tmp/r5_queue8.log
+    timeout 21600 python tools/bench_sharded.py --scale --gen --n 128000000 \
+        --devices 1 --capacity-factor 1.0 --chunks 16 --warmup-steps 0 \
+        --chunk 150 --steps 600 --reps 1 > /tmp/r5_shard128d.log 2>&1
+    echo "128M exit=$?" >> /tmp/r5_queue8.log
+fi
 
 echo "=== $(date) sharded 160M/device D=1 (--gen, segmented)" >> /tmp/r5_queue8.log
 timeout 21600 python tools/bench_sharded.py --scale --gen --n 160000000 \
