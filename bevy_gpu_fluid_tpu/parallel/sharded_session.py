@@ -72,14 +72,21 @@ class ShardedSession:
                  segmented: bool | None = None,
                  refless_trigger: bool | None = None, _sim=None,
                  _n: int | None = None, _gen=None):
-        """``planar_rebin``/``init_chunks``/``donate`` are the very-
-        large-per-device-N knobs, the sharded twins of Session's (see
-        models/verlet_solver.Session.__init__): plane-at-a-time collective
-        rebin (bit-identical, lower rebin-peak HBM; default None
-        auto-enables near the per-device HBM ceiling), chunked per-device
-        init (O(m/K) sort transients), and donation of the resident sim
-        into ``run``'s dispatch (old and new dense planes never coexist —
-        outside references to a previous ``sess.sim`` are invalidated)."""
+        """``planar_rebin``/``init_chunks``/``donate``/``segmented`` are
+        the very-large-per-device-N knobs, the sharded twins of Session's
+        (see models/verlet_solver.Session.__init__): plane-at-a-time
+        collective rebin (bit-identical, lower rebin-peak HBM; default
+        None auto-enables near the per-device HBM ceiling), chunked
+        per-device init (O(m/K) sort transients), donation of the
+        resident sim into ``run``'s dispatch (old and new dense planes
+        never coexist — outside references to a previous ``sess.sim``
+        are invalidated), and the segmented run driver (cond-free
+        while_loop segments + the rebin as its own donated dispatch,
+        ROTATED into the donor-chain form when refless — see
+        shard_verlet.make_segmented; auto past the per-device segmented
+        threshold).  For the top-of-HBM init use ``from_generator``
+        (neither the [N] FluidState nor the [D, capacity] ShardedState
+        ever exists on device)."""
         if mesh is None:
             mesh = sh.make_mesh(spec.n_devices)
         self.params = params
