@@ -101,6 +101,15 @@ class ShardSpec:
                                    y_max=y_max, cap=cap)
         nx_local = -(-g.nx // n_devices)
         local = dataclasses.replace(g, nx=nx_local)
+        # width-adaptive row blocks, as the flagship's default_grid: past
+        # ~6016 pad lanes the fused forces kernel's scoped VMEM exceeds
+        # the 100 MB stack limit at tb=8 (the 160M/device step_until
+        # compile fault: 104.48M of 100M at nx_pad 6528) — drop to the
+        # wide-grid 4-row blocks exactly where the single-chip path does
+        from ..models.pallas_solver import pick_row_block
+        tb = pick_row_block(local.nx_pad)
+        if tb != local.row_block:
+            local = dataclasses.replace(local, row_block=tb)
         return ShardSpec(n_devices=n_devices, nx_local=nx_local,
                          local_grid=local, global_x0=g.origin_x,
                          capacity=capacity,

@@ -81,3 +81,24 @@ def test_migration_conserves_particles(setup4):
     assert not np.array_equal(per_dev_before, per_dev_after)
     com_x = float(jnp.sum(jnp.where(ss.alive, ss.x, 0.0)) / state.n)
     assert com_x > float(jnp.mean(state.x))
+
+
+def test_shardspec_wide_local_grid_drops_row_block():
+    """ShardSpec.build applies the flagship's width-adaptive row blocks:
+    past ~6016 pad lanes the fused forces kernel's scoped VMEM exceeds
+    the 100 MB stack at tb=8 (the 160M/device step_until compile fault
+    measured 104.48M at nx_pad 6528) — wide local grids must get the
+    4-row blocks exactly where default_grid does."""
+    from bevy_gpu_fluid_tpu.models.pallas_solver import pick_row_block
+
+    # ~160M-per-device footprint: one slab ~6500 cells wide
+    wide = shard.ShardSpec.build(h=0.045 * 1.75, x_min=-1.0, x_max=512.0,
+                                 y_max=560.0, n_devices=1, capacity=1024)
+    assert wide.local_grid.nx_pad > 6016
+    assert wide.local_grid.row_block == \
+        pick_row_block(wide.local_grid.nx_pad) == 4
+
+    # the published <=128M/device shapes are untouched (tb stays 8)
+    narrow = shard.ShardSpec.build(h=0.045 * 1.5, x_min=-1.0, x_max=2.5,
+                                   y_max=3.0, n_devices=2, capacity=64)
+    assert narrow.local_grid.row_block == 8
