@@ -62,6 +62,10 @@ def main() -> int:
                     help="[--scale] split dispatches into K-step chunks "
                     "(tunneled-rig RPC-deadline mitigation, like "
                     "Session.run(chunk=))")
+    ap.add_argument("--refless", choices=["auto", "on", "off"],
+                    default="auto",
+                    help="[--scale] refless-trigger override (auto = "
+                    "ShardedSession's per-device grid threshold)")
     ap.add_argument("--gen", action="store_true",
                     help="[--scale] generator init "
                     "(ShardedSession.from_generator): the lattice is "
@@ -206,16 +210,19 @@ def scale_mode(args, n, side, params, cfg, spec, mesh) -> int:
           f"resident dense/device, capacity={spec.capacity})",
           file=sys.stderr, flush=True)
     planar = {"auto": None, "on": True, "off": False}[args.planar]
+    refless = {"auto": None, "on": True, "off": False}[args.refless]
     t0 = time.time()
     if args.gen:
         sess = ShardedSession.from_generator(
             bgf.lattice_gen(side, 0.04), n, params, cfg, spec,
-            planar_rebin=planar, init_chunks=args.chunks, donate=True)
+            planar_rebin=planar, init_chunks=args.chunks, donate=True,
+            refless_trigger=refless)
     else:
         state = bgf.init_grid(side, side, 0.04)
         t0 = time.time()
         sess = ShardedSession(state, params, cfg, spec, planar_rebin=planar,
-                              init_chunks=args.chunks, donate=True)
+                              init_chunks=args.chunks, donate=True,
+                              refless_trigger=refless)
         del state
     jax.block_until_ready(sess.sim.xd)
     t_init = time.time() - t0
