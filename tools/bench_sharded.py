@@ -234,14 +234,31 @@ def scale_mode(args, n, side, params, cfg, spec, mesh) -> int:
         jax.block_until_ready(sess.sim.xd)
     t_warm = time.time() - t0
 
+    # per-chunk timing: the FIRST chunk of the first rep carries the
+    # run_k compile (minutes at these shapes on a cold cache), which a
+    # whole-run average silently folds in — one such read was briefly
+    # misdiagnosed as a 5x sharded perf regression before the identical
+    # program cache-hit from another tree exposed the artifact.  steady =
+    # best chunk; the inclusive average is still reported.
     best = float("inf")
+    steady = float("inf")
+    kk = ck or args.steps
     for _ in range(args.reps):
         t0 = time.time()
-        sess.run(args.steps, chunk=ck)
-        jax.block_until_ready(sess.sim.xd)
+        done = 0
+        while done < args.steps:
+            c = min(kk, args.steps - done)
+            tc = time.time()
+            sess.run(c)
+            jax.block_until_ready(sess.sim.xd)
+            dt = time.time() - tc
+            print(f"#   chunk {done}+{c}: {dt / c * 1e3:.1f} ms/step",
+                  file=sys.stderr, flush=True)
+            steady = min(steady, dt / c)
+            done += c
         best = min(best, time.time() - t0)
     ms = best / args.steps * 1e3
-    rate = n / (best / args.steps)
+    rate = n / steady
 
     alive = sum(sess.alive)
     ovf, drp = sess.overflow, sess.dropped
@@ -265,8 +282,9 @@ def scale_mode(args, n, side, params, cfg, spec, mesh) -> int:
     finite = bool(fin)
     ok = alive == n and ovf == 0 and drp == 0 and id_ok and finite
     print(f"# sharded-scale D={args.devices} n={n} init={t_init:.1f}s "
-          f"warmup={t_warm:.1f}s {ms:.1f} ms/step = {rate / 1e6:.1f}M "
-          f"particle-steps/s (inclusive) | alive {alive}/{n} "
+          f"warmup={t_warm:.1f}s {steady * 1e3:.1f} ms/step steady "
+          f"(avg incl. compile {ms:.1f}) = {rate / 1e6:.1f}M "
+          f"particle-steps/s | alive {alive}/{n} "
           f"overflow={ovf} dropped={drp} suspended={sess.suspended} "
           f"rebins={sess.rebin_count} "
           f"rebin_mode={'planar' if sess.planar_rebin else 'fused'} "
