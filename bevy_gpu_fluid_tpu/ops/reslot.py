@@ -372,6 +372,17 @@ def reslot_pallas(xd, yd, vxd, vyd, idx_d, grid: GridSpec2D,
 
 _CODE_EMPTY = -1
 
+# Routing-code element type.  Codes span [-1, cap*9) = [-1, 72) and fit
+# int8: a 4x narrower code plane sheds ~1.4 GiB of the rotated rebin's
+# TEMP at 208M — the select code plane is the one plane-sized temp with
+# no donor left (the 224M single-chip and 160M/device sharded brackets
+# both die on it).  Env-gated (BGF_CODE8=1) until the Mosaic int8
+# select/compare lowering is hardware-proven; routing decisions are
+# identical either way (tests/test_planar.py pins the pipelines
+# bitwise).
+import os as _os
+CODE_DTYPE = jnp.int8 if _os.environ.get("BGF_CODE8") == "1" else jnp.int32
+
 
 def _code_of(kj, dx: int, dy: int):
     """Routing code of candidate (kj, dx, dy) — candidate enumeration order
@@ -405,7 +416,7 @@ def _select_kernel(pr, occ, x_hbm, y_hbm, code_ref, cnt_ref,
     tgt_cy = abs_row - grid.row0
     kiota = jax.lax.broadcasted_iota(jnp.int32, (1, cap, 1), 1)
 
-    code_ref[...] = jnp.full((tb, cap, nxp), _CODE_EMPTY, jnp.int32)
+    code_ref[...] = jnp.full((tb, cap, nxp), _CODE_EMPTY, code_ref.dtype)
     cnt = jnp.zeros((tb, 1, nxp), jnp.int32)
 
     def roll(a, dx):
@@ -431,8 +442,10 @@ def _select_kernel(pr, occ, x_hbm, y_hbm, code_ref, cnt_ref,
                 ccy = jnp.where(live, jnp.clip(ccy, 0, grid.ny - 1), -9)
                 match = (ccx == tgt_cx) & (ccy == tgt_cy)
                 sel = match & (cnt == kiota)
-                code_ref[...] = jnp.where(sel, _code_of(kj, dx, dy),
-                                          code_ref[...])
+                code_ref[...] = jnp.where(
+                    sel,
+                    jnp.asarray(_code_of(kj, dx, dy), code_ref.dtype),
+                    code_ref[...])
                 cnt = cnt + match.astype(jnp.int32)
         return cnt
     cnt = jax.lax.fori_loop(0, kmax, body, cnt)
@@ -454,7 +467,7 @@ def select_pallas(xd, yd, grid: GridSpec2D, interpret: bool | None = None,
     tb = grid.row_block
     kernel = functools.partial(_select_kernel, tb=tb, grid=grid,
                                clip_lo=clip_lo, clip_hi=clip_hi)
-    ishape = jax.ShapeDtypeStruct(xd.shape, jnp.int32)
+    ishape = jax.ShapeDtypeStruct(xd.shape, CODE_DTYPE)
     cshape = jax.ShapeDtypeStruct(
         (grid.n_row_blocks, _cnt_rows(tb), grid.nx_pad), jnp.int32)
     block = pl.BlockSpec((tb, grid.cap, grid.nx_pad), lambda r: (r + 1, 0, 0))
@@ -495,7 +508,8 @@ def _apply_kernel(occ, code_ref, p_hbm, out_ref, psl, sems, *, tb, fill):
     c.start()
     c.wait()
 
-    code = code_ref[...]
+    # int8 code: one widening convert per block, then identical compares
+    code = code_ref[...].astype(jnp.int32)
     out_ref[...] = jnp.full(out_ref.shape, fill, out_ref.dtype)
 
     def roll(a, dx):
