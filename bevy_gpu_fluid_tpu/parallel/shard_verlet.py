@@ -339,16 +339,26 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
         # axis is the (8,128) tile's sublane dim) and blow the rebin-peak
         # HBM at large slabs.
         R, _, C = pidx_d.shape
-        padded = jnp.pad(idx_d, ((1, 1), (0, 0), (1, 1)),
-                         constant_values=-1)
 
-        def _shift_any(s, found):
-            win = jax.lax.dynamic_slice(padded, (s // 3, 0, s % 3),
-                                        (R, cap, C))
-            return found | jnp.any(
-                pidx_d[:, :, None, :] == win[:, None, :, :], axis=2)
+        # per-SLOT window test (same union, loops reordered): padding the
+        # whole idx plane materialized [R+2, cap, C+2] PLUS its remat
+        # copies — 2.8 GiB of the recovery cond's arena at 160M/device,
+        # the exact 160 MB-over-HBM margin of the sharded 160M bracket.
+        # Slicing slot k BEFORE padding keeps every temp <= [R, 1, C]
+        # (the taken_mask memory shape, ops/reslot.py).
+        def _slot_any(k, found):
+            slot = jax.lax.dynamic_slice(idx_d, (0, k, 0), (R, 1, C))
+            pslot = jnp.pad(slot, ((1, 1), (0, 0), (1, 1)),
+                            constant_values=-1)
 
-        found = jax.lax.fori_loop(0, 9, _shift_any,
+            def _shift(s, fd):
+                win = jax.lax.dynamic_slice(pslot, (s // 3, 0, s % 3),
+                                            (R, 1, C))
+                return fd | (pidx_d == win)
+
+            return jax.lax.fori_loop(0, 9, _shift, found)
+
+        found = jax.lax.fori_loop(0, cap, _slot_any,
                                   jnp.zeros(pidx_d.shape, bool))
         exp_pad = jnp.pad(jnp.stack([exi_l, exi_r]),
                           ((0, 0), (1, 1), (0, 0)), constant_values=-1)
