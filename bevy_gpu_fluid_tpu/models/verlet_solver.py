@@ -1387,6 +1387,11 @@ class Session:
                                     s.idx_d, rest)
                     del s
                     self.sim = None     # drop idx ref before fresh rho
+                    # drain the rebin before allocating the fresh rho (the
+                    # async zeros dispatch otherwise overlaps the rebin's
+                    # still-live non-donated input + temps; the sharded
+                    # twin measured exactly this OOM at 160M/device)
+                    jax.block_until_ready(out.xd)
                     self.sim = dataclasses.replace(
                         out, rho_d=self._rho_zeros())
                 else:

@@ -243,6 +243,12 @@ class ShardedSession:
                                     s.idx_d, rest)
                     del s
                     self.sim = None     # drop old idx ref before fresh rho
+                    # drain the rebin before allocating the fresh rho: the
+                    # async zeros dispatch otherwise overlaps the rebin's
+                    # still-live non-donated input + temps (measured: the
+                    # 160M/device run cleared rebin_one and then
+                    # RESOURCE_EXHAUSTED exactly here)
+                    jax.block_until_ready(out.xd)
                     self.sim = dataclasses.replace(
                         out, rho_d=self._rho_zeros())
                 else:
