@@ -897,7 +897,15 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
 
         rotated = bool(donate and refless)
         if rotated:
-            @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
+            # idx is donated TOO and the new idx returns as an f32
+            # BITCAST: greedy pairing then lands it in vyd's dead buffer
+            # (the 5th f32 plane in the deque) while the s32 idx input
+            # becomes xla-donated arena — without this the rebin carries
+            # a full non-donated idx plane, which was the 160M/device
+            # runtime RESOURCE_EXHAUSTED after everything else was shed.
+            # The driver bitcasts back in its own dispatch once the rebin
+            # has drained (a transient plane copy against an empty arena).
+            @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5))
             def rebin_one(rho_d, xd, yd, vxd, vyd, idx_d, rest):
                 (occ, disp2, alive, age, overflow, lost, dropped,
                  rebin_count, step, sx, sy, svx, svy, sidx,
@@ -912,7 +920,10 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
                 out = _do_rebin(sim)
                 # rho's buffer now holds the new xd (pairing rotation);
                 # the driver re-attaches a fresh zero plane
-                return dataclasses.replace(out, rho_d=_ref_none())
+                return dataclasses.replace(
+                    out, rho_d=_ref_none(),
+                    idx_d=jax.lax.bitcast_convert_type(out.idx_d,
+                                                       jnp.float32))
         else:
             @partial(jax.jit, donate_argnums=dn)
             def rebin_one(sim):

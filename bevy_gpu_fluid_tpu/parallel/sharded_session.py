@@ -225,6 +225,11 @@ class ShardedSession:
                 self._rho_zeros = jax.jit(
                     lambda: jnp.zeros(shape, jnp.float32),
                     out_shardings=sh)
+                # the rotated rebin returns idx as an f32 bitcast (it
+                # rides vyd's donated buffer); restore s32 in a separate
+                # dispatch against the drained arena
+                self._idx_back = jax.jit(
+                    lambda a: jax.lax.bitcast_convert_type(a, jnp.int32))
         step_until, rebin_one, rotated = self._segmented_fns
         cap = n_steps if chunk is None else chunk
         done = 0
@@ -250,7 +255,8 @@ class ShardedSession:
                     # RESOURCE_EXHAUSTED exactly here)
                     jax.block_until_ready(out.xd)
                     self.sim = dataclasses.replace(
-                        out, rho_d=self._rho_zeros())
+                        out, rho_d=self._rho_zeros(),
+                        idx_d=self._idx_back(out.idx_d))
                 else:
                     self.sim = rebin_one(self.sim)
 
