@@ -438,7 +438,7 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
         return xd, yd, vxd, vyd, idx_d, sx, sy, svx, svy, sidx, readmitted
 
     def rebin_d1(xd, yd, vxd, vyd, idx_d, overflow, lost, dropped,
-                 sx, sy, svx, svy, sidx, readmitted):
+                 sx, sy, svx, svy, sidx, readmitted, d=None):
         """D=1 rebin: the global bounce box keeps every particle inside the
         (padded) slab, so slab exits are impossible — the default plain-clip
         reslot captures nothing, and the whole ghost-clear/capture/exchange/
@@ -449,7 +449,11 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
         plain-clip reslot re-emits them as FAR)."""
         alive_before = count_live(xd)
         pre = (xd, yd, vxd, vyd, idx_d)
-        d = jax.lax.axis_index(AXIS)
+        # d=None: inside shard_map.  An explicit d supports the UNWRAPPED
+        # D=1 rotated rebin (no shard_map => jit-level donation pairing
+        # aliases like the flagship's; axis_index is illegal outside).
+        if d is None:
+            d = jax.lax.axis_index(AXIS)
         xd, yd, vxd, vyd, idx_d, cnt = reslot(xd, yd, vxd, vyd, idx_d,
                                               origin=origin_of(d))
         matched = jnp.sum(cnt).astype(jnp.int32)
@@ -905,6 +909,43 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
             # runtime RESOURCE_EXHAUSTED after everything else was shed.
             # The driver bitcasts back in its own dispatch once the rebin
             # has drained (a transient plane copy against an empty arena).
+            if D == 1:
+                # UNWRAPPED D=1 rebin: rebin_d1 on squeezed planes under
+                # plain jit.  Donation pairing does not alias through a
+                # shard_map boundary (its outputs come back as fresh
+                # buffers — the 160M/device runtime RESOURCE_EXHAUSTED
+                # after every other plane was shed), and at D=1 the rebin
+                # needs no collectives.  Bitwise the shard_map'd path
+                # (same ops on the same squeezed arrays).
+                def _rebin_body(s):
+                    sq = lambda a: a.reshape(a.shape[1:])
+                    (xd, yd, vxd, vyd, idx_d, ovf, lost, drp,
+                     sx, sy, svx, svy, sidx, readm) = (
+                        sq(s.xd), sq(s.yd), sq(s.vxd), sq(s.vyd),
+                        sq(s.idx_d), sq(s.overflow), sq(s.lost),
+                        sq(s.dropped), sq(s.sx), sq(s.sy), sq(s.svx),
+                        sq(s.svy), sq(s.sidx), sq(s.readmitted))
+                    (xd, yd, vxd, vyd, idx_d, ovf, lost, drp,
+                     sx, sy, svx, svy, sidx, readm) = rebin_d1(
+                        xd, yd, vxd, vyd, idx_d, ovf, lost, drp,
+                        sx, sy, svx, svy, sidx, readm, d=jnp.int32(0))
+                    real = lambda a: jax.lax.slice_in_dim(a, 1, nxl + 1,
+                                                          axis=2)
+                    r1 = lambda a: a.reshape((1,) + a.shape)
+                    return dataclasses.replace(
+                        s, xd=r1(xd), yd=r1(yd), vxd=r1(vxd), vyd=r1(vyd),
+                        idx_d=r1(idx_d), occ=r1(occ_of(xd)),
+                        ref_xd=_ref_none(), ref_yd=_ref_none(),
+                        alive=r1(count_live(real(xd))),
+                        age=jnp.zeros_like(s.age),
+                        disp2=jnp.zeros_like(s.disp2),
+                        overflow=r1(ovf), lost=r1(lost), dropped=r1(drp),
+                        rebin_count=s.rebin_count + 1,
+                        sx=r1(sx), sy=r1(sy), svx=r1(svx), svy=r1(svy),
+                        sidx=r1(sidx), readmitted=r1(readm))
+            else:
+                _rebin_body = _do_rebin
+
             @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5))
             def rebin_one(rho_d, xd, yd, vxd, vyd, idx_d, rest):
                 (occ, disp2, alive, age, overflow, lost, dropped,
@@ -917,7 +958,7 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
                     overflow=overflow, lost=lost, dropped=dropped,
                     rebin_count=rebin_count, step=step, sx=sx, sy=sy,
                     svx=svx, svy=svy, sidx=sidx, readmitted=readmitted)
-                out = _do_rebin(sim)
+                out = _rebin_body(sim)
                 # rho's buffer now holds the new xd (pairing rotation);
                 # the driver re-attaches a fresh zero plane
                 return dataclasses.replace(

@@ -233,3 +233,37 @@ def test_from_generator_bitwise(sess2, baseline12):
         np.testing.assert_array_equal(
             np.asarray(getattr(fa, f)), np.asarray(getattr(fb, f)),
             err_msg=f"generator init diverged in {f}")
+
+
+def test_d1_unwrapped_rotated_rebin_bitwise():
+    """At D=1 the rotated segmented rebin runs UNWRAPPED (no shard_map:
+    donation pairing does not alias through the shard_map boundary, the
+    160M/device runtime OOM) — bitwise the standard D=1 trajectory."""
+    spec = shard.ShardSpec.build(h=0.045 * 1.5, x_min=-1.0, x_max=2.5,
+                                 y_max=3.0, n_devices=1, capacity=2048)
+
+    def gen(gi):
+        x = (gi % 30).astype(jnp.float32) * 0.04 + 0.2
+        y = (gi // 30).astype(jnp.float32) * 0.04
+        return x, y, jnp.full_like(x, 2.0), jnp.zeros_like(x)
+
+    n = 30 * 20
+    a = ShardedSession.from_generator(gen, n, PARAMS, CFG, spec,
+                                      refless_trigger=True, donate=False)
+    a.run(24)
+    b = ShardedSession.from_generator(gen, n, PARAMS, CFG, spec,
+                                      refless_trigger=True,
+                                      planar_rebin=True, donate=True,
+                                      segmented=True)
+    b._run_segmented(0, None)
+    assert b._segmented_fns[2]
+    b.run(14)
+    b.run(10, chunk=6)
+    np.testing.assert_array_equal(np.asarray(a.sim.rebin_count),
+                                  np.asarray(b.sim.rebin_count))
+    assert int(np.max(np.asarray(b.sim.rebin_count))) > 1
+    for f in ("xd", "yd", "vxd", "vyd", "idx_d"):
+        np.testing.assert_array_equal(np.asarray(getattr(a.sim, f)),
+                                      np.asarray(getattr(b.sim, f)),
+                                      err_msg=f)
+    assert b.sim.idx_d.dtype == jnp.int32
