@@ -910,25 +910,98 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
             # The driver bitcasts back in its own dispatch once the rebin
             # has drained (a transient plane copy against an empty arena).
             if D == 1:
-                # UNWRAPPED D=1 rebin: rebin_d1 on squeezed planes under
-                # plain jit.  Donation pairing does not alias through a
-                # shard_map boundary (its outputs come back as fresh
-                # buffers — the 160M/device runtime RESOURCE_EXHAUSTED
-                # after every other plane was shed), and at D=1 the rebin
-                # needs no collectives.  Bitwise the shard_map'd path
-                # (same ops on the same squeezed arrays).
+                # UNWRAPPED D=1 rebin under plain jit — AND the
+                # flagship's CODE-BASED planar pipeline instead of
+                # rebin_d1: rebin_d1's recovery cond captures all five
+                # PRE-reslot planes (the presence-diff collect), holding
+                # them live across the applies so the donation rotation
+                # cannot overwrite them (the 160M/device runtime OOM
+                # after every other plane was shed; an unwrapped
+                # rebin_d1 measurably refuted the shard_map-alias
+                # hypothesis first).  The code-based collect reads only
+                # (code, idx): old planes die at their own apply, K-sized
+                # value gathers run outside the cond — the structure the
+                # flagship runs clean at 224M.  At D=1 the export
+                # machinery is dead and the slab origin equals the grid
+                # origin, so verlet_solver's own helpers drop in; the
+                # bitwise D=1 gate pins it against the shard_map'd path.
+                from ..models.verlet_solver import (_first_k_flat,
+                                                   _spill_admit,
+                                                   _spill_merge)
+                _interp = reslot_ops._interpret_default() \
+                    if interpret is None else interpret
+                vmax2 = (skin_half / cfg.dt) ** 2
+
                 def _rebin_body(s):
                     sq = lambda a: a.reshape(a.shape[1:])
-                    (xd, yd, vxd, vyd, idx_d, ovf, lost, drp,
-                     sx, sy, svx, svy, sidx, readm) = (
-                        sq(s.xd), sq(s.yd), sq(s.vxd), sq(s.vyd),
-                        sq(s.idx_d), sq(s.overflow), sq(s.lost),
-                        sq(s.dropped), sq(s.sx), sq(s.sy), sq(s.svx),
-                        sq(s.svy), sq(s.sidx), sq(s.readmitted))
-                    (xd, yd, vxd, vyd, idx_d, ovf, lost, drp,
-                     sx, sy, svx, svy, sidx, readm) = rebin_d1(
-                        xd, yd, vxd, vyd, idx_d, ovf, lost, drp,
-                        sx, sy, svx, svy, sidx, readm, d=jnp.int32(0))
+                    xd, yd, vxd, vyd, idx_d = (sq(s.xd), sq(s.yd),
+                                               sq(s.vxd), sq(s.vyd),
+                                               sq(s.idx_d))
+                    occ = sq(s.occ)
+                    (ovf, lost, drp, sx, sy, svx, svy, sidx, readm) = (
+                        sq(s.overflow), sq(s.lost), sq(s.dropped),
+                        sq(s.sx), sq(s.sy), sq(s.svx), sq(s.svy),
+                        sq(s.sidx), sq(s.readmitted))
+                    alive_before = count_live(xd)
+                    code, cnt = reslot_ops.select_pallas(
+                        xd, yd, g, interpret=_interp, occ=occ)
+                    matched = jnp.sum(cnt).astype(jnp.int32)
+                    captured = jnp.sum(jnp.minimum(cnt, cap)).astype(
+                        jnp.int32)
+                    if n is not None:
+                        K = sx.shape[0]
+                        total = idx_d.size
+                        need = ((alive_before - captured > 0)
+                                | jnp.any(sidx >= 0))
+
+                        def find_drops(ops):
+                            code_, pidx_d = ops
+                            taken = reslot_ops.taken_mask(code_, cap)
+                            dropped_m = ((pidx_d.reshape(-1) >= 0)
+                                         & ~taken.reshape(-1))
+                            return _first_k_flat(dropped_m, K)
+
+                        dpos = jax.lax.cond(
+                            need, find_drops,
+                            lambda op: jnp.full((K,), total, jnp.int32),
+                            (code, idx_d))
+                        dv = dpos < total
+                        dsf = jnp.minimum(dpos, total - 1)
+                        _, CAP_, C_ = xd.shape
+                        dr = dsf // (CAP_ * C_)
+                        drem = dsf - dr * (CAP_ * C_)
+                        dk = drem // C_
+                        dc = drem - dk * C_
+                        drops = (jnp.where(dv, xd[dr, dk, dc], FAR),
+                                 jnp.where(dv, yd[dr, dk, dc], FAR),
+                                 jnp.where(dv, vxd[dr, dk, dc], 0.0),
+                                 jnp.where(dv, vyd[dr, dk, dc], 0.0),
+                                 jnp.where(dv, idx_d[dr, dk, dc], -1))
+                        sx, sy, svx, svy, sidx = jax.lax.cond(
+                            need,
+                            lambda op: _spill_merge(op[0], op[1]),
+                            lambda op: op[0],
+                            ((sx, sy, svx, svy, sidx), drops))
+
+                    ap = reslot_ops.apply_code_pallas
+                    xd = ap(xd, code, occ, g, FAR, _interp)
+                    yd = ap(yd, code, occ, g, FAR, _interp)
+                    vxd = ap(vxd, code, occ, g, 0.0, _interp)
+                    vyd = ap(vyd, code, occ, g, 0.0, _interp)
+                    idx_d = ap(idx_d, code, occ, g, -1, _interp)
+
+                    if n is not None:
+                        (xd, yd, vxd, vyd, idx_d, sx, sy, svx, svy,
+                         sidx, readm) = jax.lax.cond(
+                            need,
+                            lambda op: _spill_admit(*op, grid=g,
+                                                    vmax2=vmax2),
+                            lambda op: (op[0], op[1], op[2], op[3],
+                                        op[4], op[6], op[7], op[8],
+                                        op[9], op[10], op[11]),
+                            (xd, yd, vxd, vyd, idx_d, cnt,
+                             sx, sy, svx, svy, sidx, readm))
+
                     real = lambda a: jax.lax.slice_in_dim(a, 1, nxl + 1,
                                                           axis=2)
                     r1 = lambda a: a.reshape((1,) + a.shape)
@@ -939,7 +1012,9 @@ def make_sharded_verlet_step(params: FluidParams, cfg: IntegrateConfig,
                         alive=r1(count_live(real(xd))),
                         age=jnp.zeros_like(s.age),
                         disp2=jnp.zeros_like(s.disp2),
-                        overflow=r1(ovf), lost=r1(lost), dropped=r1(drp),
+                        overflow=r1(ovf + (matched - captured)),
+                        lost=r1(lost + (alive_before - matched)),
+                        dropped=r1(drp),
                         rebin_count=s.rebin_count + 1,
                         sx=r1(sx), sy=r1(sy), svx=r1(svx), svy=r1(svy),
                         sidx=r1(sidx), readmitted=r1(readm))
